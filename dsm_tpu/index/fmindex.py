@@ -1,0 +1,186 @@
+"""FM-index over a multi-text DNA collection — TPU-native layout.
+
+Replaces the reference's FMIndex (FMIndex.h/.cpp: C[256] table + Huffman
+wavelet tree + RLCSA construction) with a flat 8-symbol design:
+
+  * build: concatenate each transformed text + terminator, suffix-array by
+    prefix doubling (ops/sa.py), BWT by gather — instead of RLCSA's
+    incremental Psi-vector construction (rlcsa_builder.cpp).
+  * query: `LF(c, i) = C[c] + occ(c, i)` where occ is a sampled-block count
+    (ops/rank.py) — the semantics of FMIndex.h:84-90 with the reference's
+    inclusive-index convention mapped onto half-open prefix lengths.
+
+Intervals here are half-open [lo, hi): the reference's (smin, smax) is
+(lo, hi-1).  pushChar(c) of Query.h:37-45 becomes
+    lo' = C[c] + occ(c, lo), hi' = C[c] + occ(c, hi),   empty iff lo' >= hi'.
+
+The artifact format is a versioned .npz ("dsm-tpu index v1") carrying the
+same metadata as the reference's .fmi v17 (FMIndex.cpp:155-217): n,
+samplerate, per-symbol counts, number of texts, max text length, names.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+from ..ops.rank import BLOCK, OccTable, occ_prefix_np
+from ..ops.sa import bwt_from_sa, suffix_array_np
+from . import alphabet
+from .alphabet import SIGMA, TERM
+
+FORMAT_VERSION = 1
+DEFAULT_SAMPLERATE = 124  # TextCollectionBuilder.h:30 (sampling itself is
+#                           disabled in the reference builder, builder.cpp:375)
+
+
+@dataclass
+class FMIndex:
+    n: int
+    table: OccTable
+    number_of_texts: int
+    max_text_length: int
+    samplerate: int = DEFAULT_SAMPLERATE
+    names: list[str] = field(default_factory=list)
+    sa_samples: np.ndarray | None = None  # optional locate() support
+
+    # ---------------------------------------------------------- construction
+    @classmethod
+    def from_texts(
+        cls,
+        texts: Sequence[np.ndarray],
+        names: Sequence[str] | None = None,
+        samplerate: int = DEFAULT_SAMPLERATE,
+        sa_backend: str = "numpy",
+    ) -> "FMIndex":
+        """Build from already-transformed texts (uint8 byte arrays, no
+        terminators).  Each text contributes len+1 symbols, matching
+        TextCollectionBuilder::InsertText (TextCollectionBuilder.cpp:65-92).
+        """
+        if not texts:
+            raise ValueError("cannot index an empty collection")
+        parts = []
+        max_len = 0
+        for t in texts:
+            if len(t) == 0:
+                raise ValueError("cannot index empty texts")
+            parts.append(alphabet.encode(np.asarray(t, dtype=np.uint8)))
+            parts.append(np.array([TERM], dtype=np.int8))
+            max_len = max(max_len, len(t) + 1)
+        codes = np.concatenate(parts)
+        if sa_backend == "jax":
+            from ..ops.sa import suffix_array_jax
+
+            sa = np.asarray(suffix_array_jax(codes)).astype(np.int64)
+        else:
+            sa = suffix_array_np(codes)
+        bwt = bwt_from_sa(codes, sa)
+        table = OccTable.build(bwt)
+        return cls(
+            n=int(codes.shape[0]),
+            table=table,
+            number_of_texts=len(texts),
+            max_text_length=max_len,
+            samplerate=samplerate,
+            names=list(names) if names is not None else [],
+        )
+
+    # ---------------------------------------------------------------- queries
+    @property
+    def C(self) -> np.ndarray:
+        return self.table.C
+
+    def occ(self, syms, pos) -> np.ndarray:
+        """Count of syms[j] in L[: pos[j]] (prefix-length convention)."""
+        return occ_prefix_np(self.table, np.asarray(syms), np.asarray(pos))
+
+    def lf_ref(self, c: int, i: int) -> int:
+        """Reference-convention LF (inclusive index, i may be -1):
+        C[c] + rank_c(L, i)  (FMIndex.h:84-90)."""
+        return int(self.C[c]) + int(self.occ(np.array([c]), np.array([i + 1]))[0])
+
+    def extend(self, c: int, lo, hi):
+        """Backward-extend half-open interval(s) [lo, hi) by symbol c."""
+        lo = np.asarray(lo, dtype=np.int64)
+        hi = np.asarray(hi, dtype=np.int64)
+        syms = np.full(lo.shape, c, dtype=np.int8)
+        nlo = self.C[c] + self.occ(syms, lo)
+        nhi = self.C[c] + self.occ(syms, hi)
+        return nlo, nhi
+
+    def count(self, pattern: bytes) -> int:
+        """Classic backward search (FMIndex.cpp:360-381): number of
+        occurrences of `pattern` in the indexed collection."""
+        codes = alphabet.encode(np.frombuffer(pattern, dtype=np.uint8))
+        lo, hi = np.int64(0), np.int64(self.n)
+        for c in codes[::-1]:
+            lo, hi = self.extend(int(c), lo, hi)
+            if lo >= hi:
+                return 0
+        return int(hi - lo)
+
+    def access_bwt(self, i: int) -> int:
+        """BWT code at row i (HuffWT::access / FMIndex::getL equivalent)."""
+        return int(self.table.blocks[i // BLOCK, i % BLOCK])
+
+    def check(self) -> bool:
+        """The metaenumerate --check invariant (metaenumerate.cpp:93-127):
+        per-symbol interval sizes must sum to n."""
+        total = 0
+        for c in range(SIGMA):
+            nmin = self.lf_ref(c, -1)
+            nmax = self.lf_ref(c, self.n - 1) - 1
+            if nmax >= nmin:
+                total += nmax - nmin + 1
+        return total == self.n
+
+    # ------------------------------------------------------------ persistence
+    def save(self, path: str) -> None:
+        meta = {
+            "format": "dsm-tpu-index",
+            "version": FORMAT_VERSION,
+            "n": self.n,
+            "samplerate": self.samplerate,
+            "number_of_texts": self.number_of_texts,
+            "max_text_length": self.max_text_length,
+            "names": self.names,
+        }
+        arrays = {
+            "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            "blocks": self.table.blocks,
+            "occ": self.table.occ,
+            "counts": self.table.counts,
+            "C": self.table.C,
+        }
+        if self.sa_samples is not None:
+            arrays["sa_samples"] = self.sa_samples
+        with open(path, "wb") as f:  # keep the exact filename (no .npz suffix)
+            np.savez_compressed(f, **arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "FMIndex":
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta"]).decode())
+            if meta.get("format") != "dsm-tpu-index":
+                raise ValueError(f"{path}: not a dsm-tpu index")
+            if meta["version"] > FORMAT_VERSION:
+                raise ValueError(f"{path}: unsupported index version {meta['version']}")
+            table = OccTable(
+                n=meta["n"],
+                blocks=z["blocks"],
+                occ=z["occ"],
+                counts=z["counts"],
+                C=z["C"],
+            )
+            return cls(
+                n=meta["n"],
+                table=table,
+                number_of_texts=meta["number_of_texts"],
+                max_text_length=meta["max_text_length"],
+                samplerate=meta["samplerate"],
+                names=list(meta["names"]),
+                sa_samples=z["sa_samples"] if "sa_samples" in z.files else None,
+            )
