@@ -97,6 +97,24 @@ class FMIndex:
         """Count of syms[j] in L[: pos[j]] (prefix-length convention)."""
         return occ_prefix_np(self.table, np.asarray(syms), np.asarray(pos))
 
+    _docc: np.ndarray | None = None
+
+    @property
+    def docc(self) -> np.ndarray:
+        """Dense (n+1, 4) int32 prefix counts of the extension codes
+        A,C,G,T — turns a host-side occ query into one gather.  Used by the
+        NumPy oracle engine only; the TPU path keeps the sampled block
+        layout (ops/rank.py) whose HBM footprint is ~9 bits/symbol."""
+        if self._docc is None:
+            from . import alphabet
+
+            flat = self.table.blocks.reshape(-1)[: self.n]
+            onehot = flat[:, None] == alphabet.EXT_CODES[None, :]
+            docc = np.zeros((self.n + 1, 4), dtype=np.int32)
+            np.cumsum(onehot, axis=0, out=docc[1:])
+            self._docc = docc
+        return self._docc
+
     def lf_ref(self, c: int, i: int) -> int:
         """Reference-convention LF (inclusive index, i may be -1):
         C[c] + rank_c(L, i)  (FMIndex.h:84-90)."""
@@ -115,12 +133,13 @@ class FMIndex:
         """Classic backward search (FMIndex.cpp:360-381): number of
         occurrences of `pattern` in the indexed collection."""
         codes = alphabet.encode(np.frombuffer(pattern, dtype=np.uint8))
-        lo, hi = np.int64(0), np.int64(self.n)
+        lo, hi = 0, self.n
         for c in codes[::-1]:
-            lo, hi = self.extend(int(c), lo, hi)
+            nlo, nhi = self.extend(int(c), lo, hi)
+            lo, hi = int(nlo.reshape(-1)[0]), int(nhi.reshape(-1)[0])
             if lo >= hi:
                 return 0
-        return int(hi - lo)
+        return hi - lo
 
     def access_bwt(self, i: int) -> int:
         """BWT code at row i (HuffWT::access / FMIndex::getL equivalent)."""

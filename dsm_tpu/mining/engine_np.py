@@ -1,0 +1,317 @@
+"""Reference-exact mining engine (NumPy, host) — the semantic oracle.
+
+Computes exactly what `metaenumerate` (all samples) + `metaserver` compute,
+but as a level-synchronous breadth-first wavefront over dense per-sample
+interval tables instead of d lazily-merged DFS byte streams.
+
+Key observation collapsing the reference's client/server split: a sample is
+"active" at a union-trie node iff its frequency there is >= fmin along the
+whole path — that is precisely the client-side pruning
+(EnumerateQuery.cpp:186-190), so the cross-sample union trie can be
+generated directly by expanding a dense (nodes x samples) table of BWT
+intervals; no per-sample trie serialization or lazy merge is needed.
+
+Per node and sample we carry the main interval plus the reference's four
+left-extension intervals (EnumerateQuery.h:44-45, updated per
+EnumerateQuery.cpp:39-58) for the leftChar computation
+(EnumerateQuery.cpp:77-103).  Entropy follows metaserver.cpp:366-389 with
+the reference's exact float64 expression shapes: the per-reader term is
+((double)(freq+1) * log(freq+1)) / log(2) — multiply THEN divide, C
+left-to-right precedence — and the final value
+log(sumN)/log(2) - sumNlogN/sumN, so every double rounds identically.
+The accumulation order over readers is ascending id; the reference's
+libstdc++ unordered_set iteration order differs by ULPs only (gated at
+printf("%f") precision by the parity tests; exact gnu-order mode lives in
+mining/gnuorder.py).
+
+All output gates follow metaserver.cpp:403-419.  The single-active-reader
+fast paths (metaserver.cpp:211-267) produce no stdout when pmin > 1 and
+are subsumed by the normal gates when pmin == 1 (traverseOneWithOutput is
+dead code — never called).
+
+This implementation is the differential-test oracle for the TPU wavefront
+engine (mining/engine.py); it is itself validated against the compiled
+reference binaries (tests/test_parity.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..index.alphabet import EXT_CHARS, EXT_CODES
+from ..index.fmindex import FMIndex
+from .config import MiningConfig
+
+LOG2 = np.log(2.0)
+OCC_CHUNK = 1 << 15
+
+# leftChar aggregate codes
+LC_ZERO, LC_N = 0, 1  # '0', 'N'; 2..5 = A,C,G,T
+
+
+def _lc_char(code: int) -> bytes:
+    return b"0N" [code:code + 1] if code < 2 else EXT_CHARS[code - 2:code - 1]
+
+
+@dataclass
+class MinedOutput:
+    lines: list[tuple[bytes, float, list[tuple[int, int]]]] = field(default_factory=list)
+    total_paths: int = 0
+    total_output: int = 0
+    total_occs: int = 0
+    smallest_entropy: float = 1000.0
+    largest_entropy: float = -1000.0
+    freq_histogram: np.ndarray | None = None
+
+    def sort_postorder(self) -> None:
+        """Lexicographic post-order: children (in A<C<G<T order) before the
+        parent — exactly the reference server's print order
+        (metaserver.cpp:326-339,468-485).  Equals an ascending sort by
+        path + 0xFF (the terminator outranks every base byte)."""
+        self.lines.sort(key=lambda t: t[0] + b"\xff")
+
+    def format_lines(self) -> bytes:
+        """printf("%s %f", path, entropy) + " %d:%lu" per active reader
+        (metaserver.cpp:472-484)."""
+        out = []
+        for path, entropy, occs in self.lines:
+            parts = [path.decode("latin-1"), f"{entropy:f}"]
+            parts += [f"{i}:{f}" for i, f in occs]
+            out.append(" ".join(parts))
+        return ("\n".join(out) + "\n" if out else "").encode()
+
+
+@dataclass
+class _Level:
+    # per-node bookkeeping (U nodes at this depth)
+    paths: list[bytes]
+    lo: np.ndarray   # (U, S) int64, half-open; inactive rows are (0, 0)
+    hi: np.ndarray
+    elo: np.ndarray  # (U, S, 4)
+    ehi: np.ndarray
+
+
+def _seed_root(indexes: list[FMIndex]) -> _Level:
+    S = len(indexes)
+    lo = np.zeros((1, S), dtype=np.int64)
+    hi = np.zeros((1, S), dtype=np.int64)
+    elo = np.zeros((1, S, 4), dtype=np.int64)
+    ehi = np.zeros((1, S, 4), dtype=np.int64)
+    for s, idx in enumerate(indexes):
+        hi[0, s] = idx.n
+        for b, c in enumerate(EXT_CODES):
+            # extmin[i] = LF(c, -1) = C[c]; extmax[i] = LF(c, n-1) - 1
+            # (EnumerateQuery.cpp:18-24) -> half-open [C[c], C[c]+count_c)
+            elo[0, s, b] = idx.C[c]
+            ehi[0, s, b] = idx.C[c + 1] if c + 1 < len(idx.C) else idx.n
+    return _Level(paths=[b""], lo=lo, hi=hi, elo=elo, ehi=ehi)
+
+
+def _occ4(idx: FMIndex, pos: np.ndarray) -> np.ndarray:
+    """occ(c, pos) for all four extension codes at once: (4, Q) int64.
+
+    One dense-table gather per query (vs. the reference's one
+    HuffWT::rank pointer-chase per (c, i), HuffWT.h:66-83)."""
+    return idx.docc[pos].T.astype(np.int64)
+
+
+def _expand(indexes: list[FMIndex], level: _Level, fmin: int):
+    """Batched 4-way LF expansion of one frontier level.
+
+    Returns per-child-symbol arrays shaped (4, U, S): clo, chi, cfreq,
+    cactive; and child ext intervals (4, U, S, 4).
+    """
+    U, S = level.lo.shape
+    clo = np.zeros((4, U, S), dtype=np.int64)
+    chi = np.zeros((4, U, S), dtype=np.int64)
+    celo = np.zeros((4, U, S, 4), dtype=np.int64)
+    cehi = np.zeros((4, U, S, 4), dtype=np.int64)
+
+    parent_active = level.hi > level.lo  # (U, S)
+    for s, idx in enumerate(indexes):
+        # all positions needing occ for this sample: (U, 10)
+        pos = np.concatenate(
+            [level.lo[:, s:s + 1], level.hi[:, s:s + 1],
+             level.elo[:, s, :], level.ehi[:, s, :]], axis=1,
+        )
+        occ4 = _occ4(idx, pos.ravel()).reshape(4, U, 10)
+        ext_nonempty = level.ehi[:, s, :] > level.elo[:, s, :]
+        for ci, c in enumerate(EXT_CODES):
+            occ = occ4[ci]
+            base = int(idx.C[c])
+            nlo, nhi = base + occ[:, 0], base + occ[:, 1]
+            nelo, nehi = base + occ[:, 2:6], base + occ[:, 6:10]
+            # Query::pushChar semantics: child interval only if parent
+            # active; the 4 ext intervals keep their stale values once
+            # empty (EnumerateQuery.cpp:44-55 pushes unchanged nmin/nmax)
+            clo[ci, :, s] = np.where(parent_active[:, s], nlo, 0)
+            chi[ci, :, s] = np.where(parent_active[:, s], nhi, 0)
+            celo[ci, :, s, :] = np.where(ext_nonempty, nelo, level.elo[:, s, :])
+            cehi[ci, :, s, :] = np.where(ext_nonempty, nehi, level.ehi[:, s, :])
+
+    cfreq = np.maximum(chi - clo, 0)
+    cactive = parent_active[None, :, :] & (cfreq >= fmin)
+    return clo, chi, cfreq, cactive, celo, cehi
+
+
+def _leftchar_codes(level: _Level) -> np.ndarray:
+    """Per (node, sample) leftChar code (EnumerateQuery.cpp:77-103):
+    the code of base b if interval(P+b) == interval(P) (all occurrences
+    left-extend with b), else 'N' if any ext interval is nonempty, else '0'.
+    """
+    nonempty = level.ehi > level.elo  # (U, S, 4)
+    matches = nonempty & (level.elo == level.lo[:, :, None]) \
+        & (level.ehi == level.hi[:, :, None])
+    any_match = matches.any(axis=2)
+    any_nonempty = nonempty.any(axis=2)
+    match_code = matches.argmax(axis=2) + 2  # A,C,G,T -> 2..5
+    return np.where(any_match, match_code, np.where(any_nonempty, LC_N, LC_ZERO))
+
+
+def node_entropy(freq: np.ndarray, d: int) -> np.ndarray:
+    """Vectorized metaserver.cpp:356-389 with C-exact double rounding.
+
+    freq: (U, S) per-reader occurrence counts (0 for inactive readers —
+    an inactive reader contributes (1*log(1))/log(2) == +0.0, an exact
+    no-op in IEEE addition, so summing all S ascending columns equals
+    summing the active ones ascending).
+    """
+    f1 = freq.astype(np.float64) + 1.0
+    # ((double)(freq+1) * log(freq+1)) / log(2): multiply THEN divide.
+    term = (f1 * np.log(f1)) / LOG2
+    sumNlogN = np.zeros(freq.shape[0], dtype=np.float64)
+    for s in range(freq.shape[1]):  # sequential, ascending-id float order
+        sumNlogN = sumNlogN + term[:, s]
+    sumN = (d + freq.sum(axis=1)).astype(np.float64)
+    return np.log(sumN) / LOG2 - sumNlogN / sumN
+
+
+def mine_np(
+    indexes: list[FMIndex],
+    cfg: MiningConfig,
+    prefix: bytes = b"",
+    reader_order: str = "ascending",
+) -> MinedOutput:
+    """Mine the full cross-sample union trie (or the subtree under
+    `prefix`, the enforcepath equivalent: EnumerateQuery.cpp:240-290).
+
+    reader_order controls the per-line reader ordering (and hence the
+    float accumulation order of the entropy sum): 'ascending' id order, or
+    'gnu' to replicate the reference's libstdc++ unordered_set iteration
+    (mining/gnuorder.py) for byte-exact output.
+    """
+    cfg.validate()
+    d = len(indexes)
+    out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
+    tracker = None
+    if reader_order == "gnu":
+        from .gnuorder import GnuOrderTracker
+
+        tracker = GnuOrderTracker(d)
+
+    level = _seed_root(indexes)
+    depth = 0
+    prefix_codes = list(prefix)
+
+    while level.lo.shape[0]:
+        U, S = level.lo.shape
+        at_maxdepth = depth >= cfg.maxdepth
+        if not at_maxdepth:
+            clo, chi, cfreq, cactive, celo, cehi = _expand(indexes, level, cfg.fmin)
+            union_child = cactive.any(axis=2)  # (4, U)
+            if depth < len(prefix_codes):
+                # enforced path: only descend the prescribed child
+                want = EXT_CHARS.index(prefix_codes[depth])
+                mask = np.zeros_like(union_child)
+                mask[want] = union_child[want]
+                union_child = mask
+        else:
+            union_child = np.zeros((4, U), dtype=bool)
+            cactive = np.zeros((4, U, S), dtype=bool)
+
+        # ---- emit current-level nodes (the reference emits post-order;
+        # we gather level-order and re-sort at the end) -------------------
+        if depth > 0:
+            active = level.hi > level.lo
+            freq = level.hi - level.lo
+            nactive = active.sum(axis=1)
+            numchildren = union_child.sum(axis=0)
+            # right-branching gate (metaserver.cpp:416-417): exactly one
+            # distinct child symbol AND every active reader descends into it
+            child_counts = cactive.sum(axis=2)  # (4, U)
+            single_idx = union_child.argmax(axis=0)
+            single_full = (numchildren == 1) & (
+                child_counts[single_idx, np.arange(U)] == nactive
+            )
+            lc = _leftchar_codes(level)  # (U, S)
+
+            entropy = node_entropy(freq, d)
+            present = nactive > 0
+            out.total_paths += int(present.sum())
+            if present.any():
+                # entropy range stats: the reference's single-reader fast
+                # path (pmin>1) skips the entropy update entirely
+                # (metaserver.cpp:211-226,311-317)
+                stat_rows = present & ~((nactive == 1) & (cfg.pmin > 1))
+                if stat_rows.any():
+                    out.smallest_entropy = min(
+                        out.smallest_entropy, float(entropy[stat_rows].min()))
+                    out.largest_entropy = max(
+                        out.largest_entropy, float(entropy[stat_rows].max()))
+
+            # leftChar aggregation (metaserver.cpp:383-387): 'N' unless all
+            # active readers agree.  Order-free.
+            lc_masked_min = np.where(active, lc, 99).min(
+                axis=1, initial=99)
+            lc_masked_max = np.where(active, lc, -1).max(
+                axis=1, initial=-1)
+            lc_agg = np.where(lc_masked_min == lc_masked_max, lc_masked_max, LC_N)
+
+            # gates (metaserver.cpp:403-419)
+            output = present.copy()
+            if depth < cfg.mindepth:
+                output[:] = False
+            if cfg.pmax != 0:
+                output &= nactive <= cfg.pmax
+            output &= nactive >= cfg.pmin
+            if cfg.emax > 0:
+                output &= (entropy >= cfg.emin) & (entropy <= cfg.emax)
+            output &= ~single_full          # must be right-branching
+            output &= lc_agg < 2            # must be left-branching
+
+            for u in np.flatnonzero(output):
+                act = np.flatnonzero(active[u])
+                order = act
+                if tracker is not None:
+                    order = np.array(tracker.order_for(level.paths[u]),
+                                     dtype=np.int64)
+                out.total_output += 1
+                out.freq_histogram[act.size - 1] += 1
+                occs = [(int(i), int(freq[u, i])) for i in order]
+                out.total_occs += len(occs)
+                ent = float(entropy[u]) if tracker is None else \
+                    tracker.entropy_for(level.paths[u], freq[u], d)
+                out.lines.append((level.paths[u], ent, occs))
+
+        # ---- build next level -------------------------------------------
+        if tracker is not None and not at_maxdepth:
+            tracker.advance(level.paths, union_child, cactive)
+        u_idx, ci_idx = np.nonzero(union_child.T)  # row-major: (u, ci) asc
+        if u_idx.size == 0:
+            break
+        paths = level.paths
+        next_paths = [paths[u] + EXT_CHARS[c:c + 1]
+                      for u, c in zip(u_idx.tolist(), ci_idx.tolist())]
+        keep = cactive[ci_idx, u_idx]  # (U', S)
+        level = _Level(
+            paths=next_paths,
+            lo=np.where(keep, clo[ci_idx, u_idx], 0),
+            hi=np.where(keep, chi[ci_idx, u_idx], 0),
+            elo=celo[ci_idx, u_idx], ehi=cehi[ci_idx, u_idx],
+        )
+        depth += 1
+
+    out.sort_postorder()
+    return out

@@ -1,9 +1,23 @@
 """Deterministic synthetic toydata: 5 metagenome-like FASTA samples.
 
 Stand-in for the reference README's 5-sample example set (README.md:62-73;
-the original Helsinki download URLs are dead).  Samples share a pool of
-"species" genomes with per-sample mutations and abundance differences so
-that cross-sample discriminative substrings exist at every entropy level.
+the original Helsinki download URLs are dead).  Designed so the mined
+entropy spectrum spans the production cutoff 1.2 (example-server.sh):
+
+  * 6 "species" genomes, each present in only a subset of samples, with
+    per-sample 1% mutations -> mid/high-entropy shared substrings;
+  * high-copy "repeat elements" planted into specific sample pairs at
+    ~60x coverage -> low-entropy, high-frequency substrings (these are
+    what pass --emax 1.2 with pmin=2);
+  * lowercase and 'N' sprinkles to exercise the normalize path.
+
+CAUTION (reference bug, metaserver.cpp:211-226): the reference server's
+single-active-reader fast path skips the depth<=6 'R' checksum bytes
+("FIXME this should not occur"), so it crashes on data where a depth<=6
+trie node is active in exactly one sample under the client's fmin and
+pmin>1.  With fmin=2 this generator keeps all depth<=6 nodes shared by
+>=2 samples (dense 4^6 coverage); higher fmin needs pmin=1 configs.
+
 Seeded, so goldens frozen from the reference binaries stay reproducible.
 
 Usage: python tests/make_toydata.py [outdir] [--scale N]
@@ -32,36 +46,87 @@ def _mutate(rng: np.random.Generator, g: np.ndarray, rate: float) -> np.ndarray:
     return g
 
 
+def de_bruijn(k: int, order: int) -> np.ndarray:
+    """de Bruijn sequence B(k, order) over ACGT[:k], wrapped by order-1
+    symbols so every k**order substring of length `order` occurs linearly."""
+    a = [0] * k * order
+    seq: list[int] = []
+
+    def db(t: int, p: int) -> None:
+        if t > order:
+            if order % p == 0:
+                seq.extend(a[1 : p + 1])
+        else:
+            a[t] = a[t - p]
+            db(t + 1, p)
+            for j in range(a[t - p] + 1, k):
+                a[t] = j
+                db(t + 1, t)
+
+    db(1, 1)
+    arr = np.array(seq + seq[: order - 1], dtype=np.int64)
+    return BASES[arr]
+
+
 def make_toydata(outdir: str, scale: int = 1) -> list[str]:
-    rng = np.random.default_rng(0xD5A)
+    rng = np.random.default_rng(0xD5A2)
     nspecies = 6
-    glen = 4000 * scale
+    glen = 800 * scale
     species = [_genome(rng, glen) for _ in range(nspecies)]
-    reads_per_sample = 60 * scale
-    read_len = 400
+    # which samples carry each species (2..4 of the 5)
+    carriers = [
+        sorted(rng.choice(NSAMPLES, size=int(rng.integers(2, 5)), replace=False))
+        for _ in range(nspecies)
+    ]
+    # high-copy repeat elements: (sequence, {sample: copies})
+    repeats = []
+    for r in range(3):
+        elem = _genome(rng, 120)
+        pair = sorted(rng.choice(NSAMPLES, size=2, replace=False))
+        copies = {int(s): int(rng.integers(40, 80)) for s in pair}
+        repeats.append((elem, copies))
+
+    reads_per_sample = 100 * scale
+    read_len = 80
+    # Control spike-in present in every sample: a de Bruijn(4,6) sequence
+    # guarantees every 6-mer occurs (freq >= 2 after the builder's
+    # reverse-complement doubling) in every sample, keeping every
+    # depth<=6 trie node multi-sample-active -- which sidesteps the
+    # reference metaserver's traverseOne checksum bug (see module doc).
+    spikein = de_bruijn(4, 6)
 
     paths = []
     os.makedirs(outdir, exist_ok=True)
     for s in range(NSAMPLES):
-        # sample-specific species abundances; species s missing from sample s
-        weights = rng.dirichlet(np.ones(nspecies) * 2.0)
-        weights[s % nspecies] = 0.0
-        weights /= weights.sum()
-        local = [_mutate(rng, g, 0.01) for g in species]
+        pool = [sp for sp in range(nspecies) if s in carriers[sp]]
+        weights = rng.dirichlet(np.ones(len(pool)) * 0.8)
+        local = {sp: _mutate(rng, species[sp], 0.01) for sp in pool}
         lines = []
+        ridx = 0
+
+        def emit(read: np.ndarray, tag: str) -> None:
+            nonlocal ridx
+            lines.append(f">read_{s}_{ridx} {tag}".encode())
+            seq = read.tobytes()
+            lines.extend(seq[i : i + 70] for i in range(0, len(seq), 70))
+            ridx += 1
+
         for r in range(reads_per_sample):
-            sp = rng.choice(nspecies, p=weights)
+            sp = pool[rng.choice(len(pool), p=weights)]
             start = int(rng.integers(0, glen - read_len))
             read = local[sp][start : start + read_len].copy()
-            # sprinkle lowercase and N to exercise normalization
             if r % 17 == 0:
                 read[: read_len // 4] += 32  # lowercase
             if r % 23 == 0:
                 read[read_len // 2] = ord("N")
-            lines.append(f">read_{s}_{r} species={sp}".encode())
-            seq = read.tobytes()
-            # wrap at 70 cols like typical FASTA
-            lines.extend(seq[i : i + 70] for i in range(0, len(seq), 70))
+            emit(read, f"species={sp}")
+        for rid, (elem, copies) in enumerate(repeats):
+            for c in range(copies.get(s, 0)):
+                # tiny per-copy jitter: start offset, keeps k-mers overlapping
+                off = int(rng.integers(0, 8))
+                emit(elem[off:], f"repeat={rid}")
+        emit(spikein, "control")
+
         path = os.path.join(outdir, f"toy{s}.fasta")
         with open(path, "wb") as f:
             f.write(b"\n".join(lines) + b"\n")
