@@ -188,6 +188,69 @@ def node_entropy(freq: np.ndarray, d: int) -> np.ndarray:
     return np.log(sumN) / LOG2 - sumNlogN / sumN
 
 
+def emit_level(
+    out: MinedOutput,
+    cfg: MiningConfig,
+    d: int,
+    depth: int,
+    paths: list[bytes],
+    freq: np.ndarray,        # (U, S) int — 0 for inactive readers
+    lc: np.ndarray,          # (U, S) leftChar codes
+    single_full: np.ndarray,  # (U,) right-branching-violation flag
+    tracker=None,
+) -> None:
+    """Shared emission stage (metaserver.cpp:356-485): entropy, stats,
+    output gates, line assembly.  Used by both the NumPy oracle and the
+    TPU wavefront engine (whose device step hands back freq/lc/
+    single_full)."""
+    active = freq > 0
+    nactive = active.sum(axis=1)
+    entropy = node_entropy(freq, d)
+    present = nactive > 0
+    out.total_paths += int(present.sum())
+    if present.any():
+        # entropy range stats: the reference's single-reader fast path
+        # (pmin>1) skips the entropy update entirely
+        # (metaserver.cpp:211-226,311-317)
+        stat_rows = present & ~((nactive == 1) & (cfg.pmin > 1))
+        if stat_rows.any():
+            out.smallest_entropy = min(
+                out.smallest_entropy, float(entropy[stat_rows].min()))
+            out.largest_entropy = max(
+                out.largest_entropy, float(entropy[stat_rows].max()))
+
+    # leftChar aggregation (metaserver.cpp:383-387): 'N' unless all
+    # active readers agree.  Order-free.
+    lc_masked_min = np.where(active, lc, 99).min(axis=1, initial=99)
+    lc_masked_max = np.where(active, lc, -1).max(axis=1, initial=-1)
+    lc_agg = np.where(lc_masked_min == lc_masked_max, lc_masked_max, LC_N)
+
+    # gates (metaserver.cpp:403-419)
+    output = present.copy()
+    if depth < cfg.mindepth:
+        output[:] = False
+    if cfg.pmax != 0:
+        output &= nactive <= cfg.pmax
+    output &= nactive >= cfg.pmin
+    if cfg.emax > 0:
+        output &= (entropy >= cfg.emin) & (entropy <= cfg.emax)
+    output &= ~single_full          # must be right-branching
+    output &= lc_agg < 2            # must be left-branching
+
+    for u in np.flatnonzero(output):
+        act = np.flatnonzero(active[u])
+        order = act
+        if tracker is not None:
+            order = np.array(tracker.order_for(paths[u]), dtype=np.int64)
+        out.total_output += 1
+        out.freq_histogram[act.size - 1] += 1
+        occs = [(int(i), int(freq[u, i])) for i in order]
+        out.total_occs += len(occs)
+        ent = float(entropy[u]) if tracker is None else \
+            tracker.entropy_for(paths[u], freq[u], d)
+        out.lines.append((paths[u], ent, occs))
+
+
 def mine_np(
     indexes: list[FMIndex],
     cfg: MiningConfig,
@@ -234,66 +297,18 @@ def mine_np(
         # ---- emit current-level nodes (the reference emits post-order;
         # we gather level-order and re-sort at the end) -------------------
         if depth > 0:
-            active = level.hi > level.lo
             freq = level.hi - level.lo
-            nactive = active.sum(axis=1)
-            numchildren = union_child.sum(axis=0)
             # right-branching gate (metaserver.cpp:416-417): exactly one
             # distinct child symbol AND every active reader descends into it
+            nactive = (freq > 0).sum(axis=1)
             child_counts = cactive.sum(axis=2)  # (4, U)
             single_idx = union_child.argmax(axis=0)
-            single_full = (numchildren == 1) & (
+            single_full = (union_child.sum(axis=0) == 1) & (
                 child_counts[single_idx, np.arange(U)] == nactive
             )
             lc = _leftchar_codes(level)  # (U, S)
-
-            entropy = node_entropy(freq, d)
-            present = nactive > 0
-            out.total_paths += int(present.sum())
-            if present.any():
-                # entropy range stats: the reference's single-reader fast
-                # path (pmin>1) skips the entropy update entirely
-                # (metaserver.cpp:211-226,311-317)
-                stat_rows = present & ~((nactive == 1) & (cfg.pmin > 1))
-                if stat_rows.any():
-                    out.smallest_entropy = min(
-                        out.smallest_entropy, float(entropy[stat_rows].min()))
-                    out.largest_entropy = max(
-                        out.largest_entropy, float(entropy[stat_rows].max()))
-
-            # leftChar aggregation (metaserver.cpp:383-387): 'N' unless all
-            # active readers agree.  Order-free.
-            lc_masked_min = np.where(active, lc, 99).min(
-                axis=1, initial=99)
-            lc_masked_max = np.where(active, lc, -1).max(
-                axis=1, initial=-1)
-            lc_agg = np.where(lc_masked_min == lc_masked_max, lc_masked_max, LC_N)
-
-            # gates (metaserver.cpp:403-419)
-            output = present.copy()
-            if depth < cfg.mindepth:
-                output[:] = False
-            if cfg.pmax != 0:
-                output &= nactive <= cfg.pmax
-            output &= nactive >= cfg.pmin
-            if cfg.emax > 0:
-                output &= (entropy >= cfg.emin) & (entropy <= cfg.emax)
-            output &= ~single_full          # must be right-branching
-            output &= lc_agg < 2            # must be left-branching
-
-            for u in np.flatnonzero(output):
-                act = np.flatnonzero(active[u])
-                order = act
-                if tracker is not None:
-                    order = np.array(tracker.order_for(level.paths[u]),
-                                     dtype=np.int64)
-                out.total_output += 1
-                out.freq_histogram[act.size - 1] += 1
-                occs = [(int(i), int(freq[u, i])) for i in order]
-                out.total_occs += len(occs)
-                ent = float(entropy[u]) if tracker is None else \
-                    tracker.entropy_for(level.paths[u], freq[u], d)
-                out.lines.append((level.paths[u], ent, occs))
+            emit_level(out, cfg, d, depth, level.paths, freq, lc,
+                       single_full, tracker)
 
         # ---- build next level -------------------------------------------
         if tracker is not None and not at_maxdepth:

@@ -19,6 +19,17 @@ if os.environ.get("DSM_TEST_TPU") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the wavefront step recompiles per frontier
+# capacity bucket; caching makes reruns cheap on the small CI machine
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
