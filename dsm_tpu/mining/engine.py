@@ -22,6 +22,11 @@ over all samples at once:
     capacity management (grow on overflow, shrink for narrow deep levels —
     static shapes for XLA, power-of-two buckets to bound recompiles).
 
+The expansion/analysis/compaction cores below are shared with the
+multi-device engine (parallel/engine_sharded.py), which shards the sample
+axis over a mesh and turns the child-statistic reductions into psums —
+the TPU-native equivalent of the reference's TCP trie-stream merge.
+
 Frequencies f >= fmin pruning happens per sample exactly as the client
 does (EnumerateQuery.cpp:186-190); activity propagates down paths because
 pruned samples get zeroed intervals.  Output is byte-identical to
@@ -58,10 +63,18 @@ class DeviceIndexes:
     C4hi: object          # jnp (S, 4) int32 — C[c+1] (interval ends)
 
     @classmethod
-    def build(cls, indexes: list[FMIndex]) -> "DeviceIndexes":
+    def build(cls, indexes: list[FMIndex], pad_to: int | None = None
+              ) -> "DeviceIndexes":
+        """Stack per-sample tables; optionally right-pad the sample axis to
+        `pad_to` with inert dummy samples (single-terminator texts) so the
+        axis divides a mesh dimension.  Dummies are never active (no
+        A/C/G/T occurrences) and contribute exactly 0.0 to entropy."""
         import jax.numpy as jnp
 
-        S = len(indexes)
+        S_real = len(indexes)
+        S = pad_to if pad_to is not None else S_real
+        if S < S_real:
+            raise ValueError("pad_to smaller than the number of samples")
         nb_max = max(idx.table.blocks.shape[0] for idx in indexes)
         blocks = np.full((S, nb_max, BLOCK), PAD, dtype=np.int8)
         occ = np.zeros((S, nb_max + 1, SIGMA), dtype=np.int32)
@@ -76,6 +89,9 @@ class DeviceIndexes:
             C4[s] = [idx.C[c] for c in EXT4]
             C4hi[s] = [idx.C[c + 1] for c in EXT4]
             ns[s] = idx.n
+        for s in range(S_real, S):  # dummy: text "\0" — occ/C4 all zero
+            blocks[s, 0, 0] = 0
+            ns[s] = 1
         return cls(S=S, ns=ns, blocks=jnp.asarray(blocks),
                    occ=jnp.asarray(occ), C4=jnp.asarray(C4),
                    C4hi=jnp.asarray(C4hi))
@@ -103,28 +119,16 @@ def _occ4_sample(blocks_s, occ_s, pos_s):
     return base + cnt
 
 
-@functools.cache
-def _jitted_level_step():
-    import jax
+def expand_core(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin):
+    """Shared per-shard expansion: 4-way LF of the main + 4 left-extension
+    intervals for every (node, sample), per-sample child activity, and the
+    per-node leftChar codes.  Works on whatever sample shard `blocks/occ/
+    C4/lo/...` hold (full set single-device; a mesh shard under shard_map).
 
-    return jax.jit(_level_step_impl)
-
-
-def _level_step(*args):
-    return _jitted_level_step()(*args)
-
-
-def _level_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
-    """Expand + analyze + compact one frontier level (all on device).
-
-    lo/hi (CAP, S) int32 half-open intervals (0,0 = inactive);
-    elo/ehi (CAP, S, 4) int32 left-extension intervals;
-    valid (CAP,) bool; fmin int32 scalar; sym_mask (4,) bool (enforced
-    prefix / maxdepth restriction of which children may exist).
-
-    Returns the next frontier state plus everything the host needs for
-    emission (freq, leftChar codes, right-branching flag) and for path
-    bookkeeping (parent_row, sym, child_count).
+    Returns a dict of local arrays:
+      clo, chi (CAP, S, 4); celo, cehi (CAP, S, ext, sym); cactive
+      (CAP, S, 4) bool; freq (CAP, S); lc (CAP, S) int8;
+      nactive (CAP,) int32; child_counts (CAP, 4) int32.
     """
     import jax
     import jax.numpy as jnp
@@ -148,16 +152,7 @@ def _level_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
     celo = jnp.where(ext_ne[:, :, :, None], celo, elo[:, :, :, None])
     cehi = jnp.where(ext_ne[:, :, :, None], cehi, ehi[:, :, :, None])
 
-    union_child = cactive.any(axis=1) & sym_mask[None, :]   # (CAP, 4)
-    numchildren = union_child.sum(axis=1)
-    child_counts = cactive.sum(axis=1)                      # (CAP, 4)
-    single_idx = jnp.argmax(union_child, axis=1)
     freq = hi - lo
-    nactive = (freq > 0).sum(axis=1)
-    single_full = (numchildren == 1) & (
-        jnp.take_along_axis(child_counts, single_idx[:, None], axis=1)[:, 0]
-        == nactive
-    )
     # leftChar codes (EnumerateQuery.cpp:77-103)
     matches = ext_ne & (elo == lo[:, :, None]) & (ehi == hi[:, :, None])
     lc = jnp.where(
@@ -165,7 +160,39 @@ def _level_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
         jnp.where(ext_ne.any(axis=2), LC_N, LC_ZERO),
     ).astype(jnp.int8)
 
-    # ---- compact children into the next frontier (u-major, A<C<G<T) ----
+    return dict(
+        clo=clo, chi=chi, celo=celo, cehi=cehi, cactive=cactive,
+        freq=freq, lc=lc,
+        nactive=(freq > 0).sum(axis=1, dtype=jnp.int32),
+        child_counts=cactive.sum(axis=1, dtype=jnp.int32),
+    )
+
+
+def analyze_children(union_child, child_counts, nactive):
+    """numchildren + the right-branching-violation flag
+    (metaserver.cpp:416-417): exactly one distinct child symbol AND every
+    active reader descends into it.  child_counts/nactive must already be
+    global (psum'd) when samples are sharded."""
+    import jax.numpy as jnp
+
+    numchildren = union_child.sum(axis=-1)
+    single_idx = jnp.argmax(union_child, axis=-1)
+    single_full = (numchildren == 1) & (
+        jnp.take_along_axis(child_counts, single_idx[..., None], axis=-1)[..., 0]
+        == nactive
+    )
+    return single_full
+
+
+def compact_children(union_child, core):
+    """Select surviving children (u-major, A<C<G<T within a node) into the
+    next frontier via a stable sort.  `union_child` must be globally
+    consistent; the gathered state is per-shard.  Returns the next state
+    plus parent_row/sym/child_count for host path bookkeeping."""
+    import jax.numpy as jnp
+
+    CAP = union_child.shape[0]
+    S = core["clo"].shape[1]
     cv_flat = union_child.reshape(-1)                       # (CAP*4,)
     perm = jnp.argsort(jnp.logical_not(cv_flat), stable=True)
     child_count = cv_flat.sum()
@@ -174,20 +201,40 @@ def _level_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
     sym = (sel % 4).astype(jnp.int32)
     valid_next = jnp.arange(CAP, dtype=jnp.int32) < child_count
 
-    clo_f = clo.transpose(0, 2, 1).reshape(CAP * 4, S)
-    chi_f = chi.transpose(0, 2, 1).reshape(CAP * 4, S)
-    cact_f = cactive.transpose(0, 2, 1).reshape(CAP * 4, S)
-    celo_f = celo.transpose(0, 3, 1, 2).reshape(CAP * 4, S, 4)
-    cehi_f = cehi.transpose(0, 3, 1, 2).reshape(CAP * 4, S, 4)
+    clo_f = core["clo"].transpose(0, 2, 1).reshape(CAP * 4, S)
+    chi_f = core["chi"].transpose(0, 2, 1).reshape(CAP * 4, S)
+    cact_f = core["cactive"].transpose(0, 2, 1).reshape(CAP * 4, S)
+    celo_f = core["celo"].transpose(0, 3, 1, 2).reshape(CAP * 4, S, 4)
+    cehi_f = core["cehi"].transpose(0, 3, 1, 2).reshape(CAP * 4, S, 4)
     keep = cact_f[sel] & valid_next[:, None]
-    nlo = jnp.where(keep, clo_f[sel], 0)
-    nhi = jnp.where(keep, chi_f[sel], 0)
-
     return dict(
-        lo=nlo, hi=nhi, elo=celo_f[sel], ehi=cehi_f[sel], valid=valid_next,
+        lo=jnp.where(keep, clo_f[sel], 0),
+        hi=jnp.where(keep, chi_f[sel], 0),
+        elo=celo_f[sel], ehi=cehi_f[sel], valid=valid_next,
         parent_row=parent_row, sym=sym, child_count=child_count,
-        freq=freq, lc=lc, single_full=single_full,
     )
+
+
+def _level_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
+    """Single-device step: expand + analyze + compact one frontier level."""
+    core = expand_core(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin)
+    union_child = (core["child_counts"] > 0) & sym_mask[None, :]   # (CAP, 4)
+    single_full = analyze_children(union_child, core["child_counts"],
+                                   core["nactive"])
+    res = compact_children(union_child, core)
+    res.update(freq=core["freq"], lc=core["lc"], single_full=single_full)
+    return res
+
+
+@functools.cache
+def _jitted_level_step():
+    import jax
+
+    return jax.jit(_level_step_impl)
+
+
+def _level_step(*args):
+    return _jitted_level_step()(*args)
 
 
 def _seed_state(dev: DeviceIndexes, cap: int):

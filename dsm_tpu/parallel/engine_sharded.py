@@ -1,0 +1,221 @@
+"""Multi-device wavefront mining: samples and trie prefixes on a mesh.
+
+This is the TPU-native replacement for the reference's distributed
+topology (SURVEY.md §5.8): d clients streaming serialized tries over TCP
+into per-prefix merge servers becomes a single SPMD program on a
+('prefix', 'samples') mesh:
+
+  * occ tables are sharded over the samples axis — each device holds the
+    FM-indexes of its sample shard (the reference's one-client-per-sample
+    data parallelism, metaenumerate.cpp:268-309);
+  * the per-level child-existence/child-count reductions — the information
+    content of the reference's trie-stream merge (metaserver.cpp:159-189,
+    325-339) — are psums over the samples axis riding ICI;
+  * frontier rows are replicated within a prefix row and disjoint across
+    prefix rows (depth-0 symbol partitioning — the reference's
+    enforcepath server sharding, wrapper-SLURM/example-server.sh).
+
+The math is engine.expand_core / analyze_children / compact_children —
+identical to the single-device step, so output parity chains through the
+oracle to the reference binaries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..index.alphabet import EXT_CHARS
+from ..index.fmindex import FMIndex
+from ..mining.config import MiningConfig
+from ..mining.engine import (
+    MIN_CAP,
+    DeviceIndexes,
+    MinedOutput,
+    _next_pow2,
+    analyze_children,
+    compact_children,
+    emit_level,
+    expand_core,
+)
+from .mesh import PREFIX_AXIS, SAMPLES_AXIS, default_mesh_shape, make_mesh, row_masks
+
+
+def _sharded_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
+    """shard_map body.  Local shapes (R = local prefix rows, S = local
+    samples): blocks (S, NB, B), occ (S, NB+1, SIGMA), C4 (S, 4),
+    lo/hi (R, CAP, S), elo/ehi (R, CAP, S, 4), valid (R, CAP),
+    sym_mask (R, 4)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    core = jax.vmap(
+        lambda lo_r, hi_r, elo_r, ehi_r, valid_r: expand_core(
+            blocks, occ, C4, lo_r, hi_r, elo_r, ehi_r, valid_r, fmin)
+    )(lo, hi, elo, ehi, valid)
+
+    # the "trie merge": global child stats via psum over the samples axis
+    child_counts = lax.psum(core["child_counts"], SAMPLES_AXIS)  # (R, CAP, 4)
+    nactive = lax.psum(core["nactive"], SAMPLES_AXIS)            # (R, CAP)
+    union_child = (child_counts > 0) & sym_mask[:, None, :]
+    single_full = analyze_children(union_child, child_counts, nactive)
+
+    res = jax.vmap(compact_children)(
+        union_child,
+        {k: core[k] for k in ("clo", "chi", "celo", "cehi", "cactive")},
+    )
+    res.update(freq=core["freq"], lc=core["lc"], single_full=single_full)
+    return res
+
+
+@functools.cache
+def _jitted_sharded_step(mesh):
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        try:
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+        except AttributeError:  # older jax
+            from jax.experimental.shard_map import shard_map as sm
+
+            return sm(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=False)
+
+    spec_tbl = P(SAMPLES_AXIS)                       # blocks/occ/C4
+    spec_iv = P(PREFIX_AXIS, None, SAMPLES_AXIS)     # lo/hi
+    spec_ext = P(PREFIX_AXIS, None, SAMPLES_AXIS, None)
+    spec_row = P(PREFIX_AXIS)                        # valid/sym_mask
+    fn = shard_map(
+        _sharded_step_impl,
+        mesh=mesh,
+        in_specs=(spec_tbl, spec_tbl, spec_tbl,
+                  spec_iv, spec_iv, spec_ext, spec_ext, spec_row,
+                  P(), spec_row),
+        out_specs=dict(
+            lo=spec_iv, hi=spec_iv, elo=spec_ext, ehi=spec_ext,
+            valid=spec_row,
+            parent_row=spec_row, sym=spec_row,
+            child_count=P(PREFIX_AXIS),
+            freq=spec_iv, lc=spec_iv,
+            single_full=spec_row,
+        ),
+    )
+    return jax.jit(fn)
+
+
+def _seed_sharded(dev: DeviceIndexes, n_rows: int, cap: int):
+    import jax.numpy as jnp
+
+    S = dev.S
+    lo = jnp.zeros((n_rows, cap, S), dtype=jnp.int32)
+    hi = jnp.zeros((n_rows, cap, S), dtype=jnp.int32)
+    hi = hi.at[:, 0].set(jnp.asarray(dev.ns, dtype=jnp.int32)[None, :])
+    elo = jnp.zeros((n_rows, cap, S, 4), dtype=jnp.int32)
+    ehi = jnp.zeros((n_rows, cap, S, 4), dtype=jnp.int32)
+    elo = elo.at[:, 0].set(dev.C4[None])
+    ehi = ehi.at[:, 0].set(dev.C4hi[None])
+    valid = jnp.zeros((n_rows, cap), dtype=bool).at[:, 0].set(True)
+    return lo, hi, elo, ehi, valid
+
+
+def _resize_sharded(state, cap: int):
+    import jax.numpy as jnp
+
+    cur = state[0].shape[1]
+    if cap == cur:
+        return state
+    if cap < cur:
+        return tuple(a[:, :cap] for a in state)
+    pad = cap - cur
+    lo, hi, elo, ehi, valid = state
+    return (
+        jnp.pad(lo, ((0, 0), (0, pad), (0, 0))),
+        jnp.pad(hi, ((0, 0), (0, pad), (0, 0))),
+        jnp.pad(elo, ((0, 0), (0, pad), (0, 0), (0, 0))),
+        jnp.pad(ehi, ((0, 0), (0, pad), (0, 0), (0, 0))),
+        jnp.pad(valid, ((0, 0), (0, pad))),
+    )
+
+
+def mine_sharded(
+    indexes: list[FMIndex],
+    cfg: MiningConfig,
+    mesh=None,
+    cap: int = MIN_CAP,
+) -> MinedOutput:
+    """Mine on a device mesh: samples sharded + psum-merged, trie split
+    into disjoint depth-0 prefix partitions per mesh row.  Output is
+    identical to engine_np.mine_np / engine.mine_tpu.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg.validate()
+    if mesh is None:
+        p, s = default_mesh_shape(len(jax.devices()))
+        mesh = make_mesh(p, s)
+    n_prefix = mesh.shape[PREFIX_AXIS]
+    n_sshard = mesh.shape[SAMPLES_AXIS]
+    d = len(indexes)
+    pad_to = -(-d // n_sshard) * n_sshard
+    dev = DeviceIndexes.build(indexes, pad_to=pad_to)
+
+    out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
+    step = _jitted_sharded_step(mesh)
+    fmin = jnp.asarray(cfg.fmin, dtype=jnp.int32)
+    rmask = row_masks(n_prefix)
+    mask_all = jnp.asarray(np.repeat(np.ones((1, 4), bool), n_prefix, 0))
+    mask_none = jnp.asarray(np.zeros((n_prefix, 4), bool))
+    mask_rows = jnp.asarray(rmask)
+
+    state = _seed_sharded(dev, n_prefix, cap)
+    paths: list[list[bytes]] = [[b""] for _ in range(n_prefix)]
+    depth = 0
+
+    while True:
+        if depth >= cfg.maxdepth:
+            sym_mask = mask_none
+        elif depth == 0:
+            sym_mask = mask_rows
+        else:
+            sym_mask = mask_all
+
+        res = step(dev.blocks, dev.occ, dev.C4, *state, fmin, sym_mask)
+        counts = np.asarray(res["child_count"])
+        cap_now = state[0].shape[1]
+        if counts.max() > cap_now:
+            state = _resize_sharded(state, _next_pow2(int(counts.max())))
+            continue
+
+        if depth > 0:
+            freq = np.asarray(res["freq"]).astype(np.int64)[:, :, :d]
+            lc = np.asarray(res["lc"])[:, :, :d]
+            sf = np.asarray(res["single_full"])
+            for r in range(n_prefix):
+                emit_level(
+                    out, cfg, d, depth,
+                    paths[r] + [b""] * (cap_now - len(paths[r])),
+                    freq[r], lc[r], sf[r],
+                )
+        if counts.max() == 0:
+            break
+
+        parent_row = np.asarray(res["parent_row"])
+        sym = np.asarray(res["sym"])
+        for r in range(n_prefix):
+            cc = int(counts[r])
+            paths[r] = [paths[r][u] + EXT_CHARS[c:c + 1]
+                        for u, c in zip(parent_row[r, :cc].tolist(),
+                                        sym[r, :cc].tolist())]
+        state = (res["lo"], res["hi"], res["elo"], res["ehi"], res["valid"])
+        want = max(MIN_CAP, _next_pow2(int(counts.max())))
+        if want < cap_now:
+            state = _resize_sharded(state, want)
+        depth += 1
+
+    out.sort_postorder()
+    return out

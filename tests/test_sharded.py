@@ -1,0 +1,68 @@
+"""Multi-device mining on a virtual CPU mesh vs the single-device engines.
+
+conftest forces 8 virtual CPU devices; the meshes here exercise the real
+('prefix', 'samples') shardings — psum sample merge + disjoint prefix
+partitions — that run over ICI on hardware.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from dsm_tpu.index.alphabet import transform
+from dsm_tpu.index.fasta import read_fasta
+from dsm_tpu.index.fmindex import FMIndex
+from dsm_tpu.mining.config import MiningConfig
+from dsm_tpu.mining.engine_np import mine_np
+from dsm_tpu.parallel.engine_sharded import mine_sharded
+from dsm_tpu.parallel.mesh import default_mesh_shape, make_mesh, row_masks
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+TOYDATA = os.path.join(HERE, "data", "toydata")
+
+
+@pytest.fixture(scope="module")
+def indexes():
+    idxs = []
+    for path in sorted(glob.glob(os.path.join(TOYDATA, "toy*.fasta.gz"))):
+        texts = [transform(rec.seq) for rec in read_fasta(path)]
+        idxs.append(FMIndex.from_texts(texts))
+    return idxs
+
+
+def test_mesh_helpers():
+    assert default_mesh_shape(8) == (4, 2)
+    assert default_mesh_shape(2) == (2, 1)
+    assert default_mesh_shape(1) == (1, 1)
+    m = row_masks(2)
+    assert m.shape == (2, 4) and m.sum() == 4
+    assert not (m[0] & m[1]).any()
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (1, 8)])
+def test_sharded_matches_oracle(indexes, shape):
+    import jax
+
+    if len(jax.devices()) < shape[0] * shape[1]:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(*shape)
+    cfg = MiningConfig(fmin=2, emax=1.2, maxdepth=9)
+    want = mine_np(indexes, cfg)
+    got = mine_sharded(indexes, cfg, mesh=mesh, cap=512)
+    assert got.format_lines() == want.format_lines()
+    assert got.total_paths == want.total_paths
+    assert np.array_equal(got.freq_histogram, want.freq_histogram)
+
+
+def test_sharded_gates(indexes):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(4, 2)
+    cfg = MiningConfig(fmin=5, emax=10, pmin=1, pmax=1, maxdepth=10)
+    want = mine_np(indexes, cfg)
+    got = mine_sharded(indexes, cfg, mesh=mesh)
+    assert got.format_lines() == want.format_lines()
