@@ -300,7 +300,7 @@ def mine_tpu(
     if reader_order == "gnu":
         from .gnuorder import GnuOrderTracker
 
-        tracker = GnuOrderTracker(d)
+        tracker = GnuOrderTracker(d, server_prefix_len=max(1, len(prefix)))
 
     fmin = jnp.asarray(cfg.fmin, dtype=jnp.int32)
     masks = {
@@ -344,6 +344,15 @@ def mine_tpu(
 
         parent_row = np.asarray(res["parent_row"][:child_count])
         sym = np.asarray(res["sym"][:child_count])
+        if tracker is not None:
+            child_act = np.asarray(
+                res["hi"][:child_count] > res["lo"][:child_count])
+            tracker.advance(
+                depth, paths,
+                [(int(u), int(c), child_act[j])
+                 for j, (u, c) in enumerate(
+                     zip(parent_row.tolist(), sym.tolist()))],
+            )
         paths = [paths[u] + EXT_CHARS[c:c + 1]
                  for u, c in zip(parent_row.tolist(), sym.tolist())]
         state = (res["lo"], res["hi"], res["elo"], res["ehi"], res["valid"])

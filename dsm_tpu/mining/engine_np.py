@@ -272,7 +272,7 @@ def mine_np(
     if reader_order == "gnu":
         from .gnuorder import GnuOrderTracker
 
-        tracker = GnuOrderTracker(d)
+        tracker = GnuOrderTracker(d, server_prefix_len=max(1, len(prefix)))
 
     level = _seed_root(indexes)
     depth = 0
@@ -311,9 +311,13 @@ def mine_np(
                        single_full, tracker)
 
         # ---- build next level -------------------------------------------
-        if tracker is not None and not at_maxdepth:
-            tracker.advance(level.paths, union_child, cactive)
         u_idx, ci_idx = np.nonzero(union_child.T)  # row-major: (u, ci) asc
+        if tracker is not None:
+            tracker.advance(
+                depth, level.paths,
+                [(int(u), int(c), cactive[c, u])
+                 for u, c in zip(u_idx.tolist(), ci_idx.tolist())],
+            )
         if u_idx.size == 0:
             break
         paths = level.paths
