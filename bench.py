@@ -143,7 +143,7 @@ def run_reference(fastas: list[str]) -> dict | None:
         logs.append(logf)
         p = subprocess.Popen(
             [os.path.join(REF_BIN, "metaserver"), "-p", str(base_port + i),
-             *SERVER_ARGS],
+             "-v", *SERVER_ARGS],  # -v: end-of-run counters on stderr
             stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
             stderr=open(logf, "wb"), cwd=datadir)
         p.stdin.write(names)
@@ -204,6 +204,8 @@ def main() -> None:
             raise SystemExit(f"frozen baseline is scale {frozen['scale']}, "
                              f"bench ran scale {SCALE}")
         ref = frozen["reference"]
+    if not ref.get("total_paths"):
+        raise SystemExit("bench: reference run produced no path counters")
     ref_rate = ref["total_paths"] / ref["mine_wall_s"]
     log(f"bench: ref   {ref['total_paths']} paths in {ref['mine_wall_s']:.2f}s "
         f"-> {ref_rate:,.0f} paths/s ({baseline_kind})")

@@ -286,12 +286,19 @@ def mine_tpu(
     """Mine the cross-sample union trie on the accelerator.
 
     Same semantics and output as engine_np.mine_np (enforcepath via
-    `prefix`, all MiningConfig gates); the wavefront expansion runs as a
-    jitted device program per level.
+    `prefix`, all MiningConfig gates).  The default 'ascending' reader
+    order dispatches to the device-resident episode loop
+    (engine_device.mine_device — no per-level host round-trips);
+    reader_order='gnu' (byte-exact reference parity) keeps the per-level
+    loop here, whose host emission drives the order tracker.
     """
     import jax.numpy as jnp
 
     cfg.validate()
+    if reader_order == "ascending":
+        from .engine_device import mine_device
+
+        return mine_device(indexes, cfg, prefix=prefix, dev=dev, cap=cap)
     if dev is None:
         dev = DeviceIndexes.build(indexes)
     d = dev.S
