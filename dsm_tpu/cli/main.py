@@ -68,7 +68,8 @@ def cmd_build(args) -> int:
     for inp in args.input:
         out = build_index(inp, output=args.output,
                           samplerate=args.sample_rate or 0,
-                          sa_backend=args.sa_backend, verbose=args.verbose)
+                          sa_backend=args.sa_backend, verbose=args.verbose,
+                          fmt=args.format)
         if args.verbose:
             print(f"Save complete. ({out})", file=sys.stderr)
     return 0
@@ -239,6 +240,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("-s", "--sample-rate", dest="sample_rate",
                    type=_int_min(1, "-s, --sample-rate"), default=0)
     b.add_argument("--sa-backend", choices=["numpy", "jax"], default="numpy")
+    b.add_argument("--format", choices=["dsmi", "fmi"], default="dsmi",
+                   help="fmi writes a reference-compatible v17 index")
     b.add_argument("-v", "--verbose", action="store_true")
     b.set_defaults(fn=cmd_build)
 

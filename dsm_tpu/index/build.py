@@ -35,6 +35,7 @@ def build_index(
     samplerate: int = DEFAULT_SAMPLERATE,
     sa_backend: str = "numpy",
     verbose: bool = False,
+    fmt: str = "dsmi",
 ) -> str:
     t0 = time.time()
     texts = []
@@ -50,6 +51,11 @@ def build_index(
             file=sys.stderr,
         )
     idx = FMIndex.from_texts(texts, names, samplerate=samplerate, sa_backend=sa_backend)
+    if fmt == "fmi":
+        # reference-compatible artifact (same naming as builder.cpp:283)
+        from .fmi_compat import save_fmi
+
+        return save_fmi(idx, output if output is not None else input_fasta)
     out = output if output is not None else input_fasta + INDEX_EXTENSION
     if not out.endswith(INDEX_EXTENSION):
         out += INDEX_EXTENSION

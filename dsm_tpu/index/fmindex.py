@@ -181,6 +181,15 @@ class FMIndex:
 
     @classmethod
     def load(cls, path: str) -> "FMIndex":
+        """Load an index artifact: our .npz container, or a reference
+        .fmi v14-v17 (dispatch by magic, as TextCollection::load
+        dispatches by extension, TextCollection.cpp:27-62)."""
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        if magic[:2] != b"PK":  # not a zip -> reference binary format
+            from .fmi_compat import load_fmi
+
+            return load_fmi(path)
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
             if meta.get("format") != "dsm-tpu-index":
