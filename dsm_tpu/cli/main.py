@@ -21,6 +21,7 @@ exit with status 1 and a message on stderr.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -186,6 +187,38 @@ def cmd_mine(args) -> int:
     return 0
 
 
+# --------------------------------------------------------------- launch --
+
+def cmd_launch(args) -> int:
+    from ..index.build import libname
+    from .launch import emit_slurm, launch_local
+
+    samples = [libname(p) for p in args.indexes]
+    if len(set(samples)) != len(samples):
+        _die("launch: duplicate sample names derived from index paths")
+    kw = dict(
+        samples=samples, indexes=[os.path.abspath(p) for p in args.indexes],
+        tmpdir=args.tmpdir, outdir=args.outdir, base_port=args.base_port,
+        hash_depth=args.hash_depth, emax=args.emax, fmin=args.fmin)
+    if args.mode == "slurm":
+        samplelist = os.path.join(args.tmpdir, "samples.txt")
+        os.makedirs(args.tmpdir, exist_ok=True)
+        with open(samplelist, "w") as f:
+            f.write("\n".join(samples) + "\n")
+        scripts = emit_slurm(samplelist=samplelist, **kw)
+        print("\n".join(scripts))
+        print("submit servers first, then clients once every "
+              "metaserver_config_*.txt exists", file=sys.stderr)
+        return 0
+    if args.server_cmd:
+        kw["server_cmd"] = args.server_cmd.split()
+    if args.client_cmd:
+        kw["client_cmd"] = args.client_cmd.split()
+    outputs = launch_local(**kw)
+    print("\n".join(outputs))
+    return 0
+
+
 # ------------------------------------------------------------- distance --
 
 def cmd_distance(args) -> int:
@@ -304,6 +337,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference byte-exactly")
     m.add_argument("-v", "--verbose", action="store_true")
     m.set_defaults(fn=cmd_mine)
+
+    ln = sub.add_parser(
+        "launch", help="orchestrate a server/client fleet "
+                       "(wrapper-SLURM equivalent)")
+    ln.add_argument("indexes", nargs="+")
+    ln.add_argument("--mode", choices=["local", "slurm"], default="local")
+    ln.add_argument("--tmpdir", default="dsm_tmp")
+    ln.add_argument("--outdir", default="dsm_out")
+    ln.add_argument("--base-port", type=_int_min(1024, "--base-port"),
+                    default=52000)
+    ln.add_argument("--hash-depth", type=_int_min(1, "--hash-depth"),
+                    default=1, help="prefix shards = 4**depth servers")
+    ln.add_argument("-E", "--emax", type=_float_min(0, "-E, --emax"),
+                    default=1.2)
+    ln.add_argument("-f", "--fmin", type=_int_min(1, "-f, --fmin"),
+                    default=2)
+    ln.add_argument("--server-cmd", default=None,
+                    help="external server binary (e.g. reference "
+                         "metaserver) for mixed fleets")
+    ln.add_argument("--client-cmd", default=None)
+    ln.set_defaults(fn=cmd_launch)
 
     d = sub.add_parser(
         "distance", help="mined rows (stdin) -> pairwise distance matrices")
