@@ -179,6 +179,9 @@ def run_reference(fastas: list[str]) -> dict | None:
 
 
 def main() -> None:
+    from dsm_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax()
     fastas = make_dataset()
     idxs, build_secs = build_indexes(fastas)
     import jax

@@ -382,6 +382,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd in ("mine", "build"):  # jax-using subcommands
+        from ..utils.jaxsetup import setup_jax
+
+        setup_jax()
     return args.fn(args)
 
 

@@ -6,9 +6,18 @@ hundreds of levels deep.  Here the entire reference pipeline
 (EnumerateQuery DFS + metaserver merge/gates, metaserver.cpp:269-486)
 becomes ONE jitted `lax.while_loop` episode:
 
-  * frontier state (intervals, 4 left-extension intervals, packed path
-    codes) lives in HBM across levels; expansion is chunked with
-    `lax.map` to bound VMEM-adjacent intermediates;
+  * frontier state (intervals, 4 left-extension intervals, path codes)
+    lives in HBM across levels; each level runs as a fori_loop over
+    CHUNK-row slices with a DYNAMIC trip count ceil(nvalid/CHUNK), so
+    compute scales with the live frontier width, not the capacity
+    bucket — capacity buckets can then be few and large (GROWTH=8),
+    minimizing episode recompiles;
+  * each chunk fuses expansion, the output gates, and stream compaction
+    of both the output rows and the next frontier (running offsets +
+    fixed-width updates whose garbage tails the next chunk overwrites);
+  * frontiers that turn narrow past TAIL_MIN_DEPTH exit to the host
+    wavefront (engine_np.mine_from_level) — the deep-thin-tail regime
+    where a host level costs less than a device step;
   * every output gate the server applies (metaserver.cpp:403-419) is
     evaluated on device — depth window, pmin/pmax band, entropy window,
     right-branching, left-branching — and passing rows are compacted
@@ -36,6 +45,9 @@ lines themselves are exact.
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -43,14 +55,39 @@ import numpy as np
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
 from .config import MiningConfig
-from .engine import MIN_CAP, DeviceIndexes, _next_pow2, expand_core
+from .engine import DeviceIndexes, expand_core
 from .engine_np import LOG2, MinedOutput, node_entropy
 
-CHUNK = 4096          # expansion chunk rows (bounds the occ-gather buffers)
-MIN_PATHCAP = 64
+CHUNK = 4096          # per-chunk rows: bounds the occ-gather intermediates
+#                       and is the work granularity (compute scales with
+#                       ceil(nvalid/CHUNK), not with the capacity bucket)
+DEV_MIN_CAP = CHUNK   # frontier buffers must hold >= one chunk
+MIN_PATHCAP = 256
+GROWTH = 8            # capacity bucket growth factor: every distinct
+#                       (cap, pathcap) bucket compiles its own episode
+#                       program, and on a tunneled chip each compile costs
+#                       tens of seconds; chunked processing makes a big
+#                       bucket nearly free, so keep buckets few
 OUT_RESERVE = 1 << 15  # drained-output buffer target size
 ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
-FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_GROWPATH, FLAG_SHRINK = range(6)
+(FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_GROWPATH, FLAG_SHRINK,
+ FLAG_TAIL) = range(7)
+
+# Hand the frontier to the host numpy wavefront once it is this narrow
+# and past this depth: a TPU while-loop iteration costs ~the same for 2
+# live rows as for MIN_CAP, and deep tries (long repeats) have thousands
+# of near-empty levels — the reference's followOneBranch fast lane
+# (EnumerateQuery.cpp:105-149) solves the same problem recursively.
+TAIL_WIDTH = 768
+TAIL_MIN_DEPTH = 12
+
+
+def _bucket(x: int) -> int:
+    """Smallest DEV_MIN_CAP * GROWTH**k >= x (the only frontier sizes)."""
+    cap = DEV_MIN_CAP
+    while cap < x:
+        cap *= GROWTH
+    return cap
 
 
 @dataclass
@@ -65,9 +102,10 @@ class _Scalars:
     use_egate: object
     mindepth: object
     maxdepth: object
+    tail_width: object
 
     @classmethod
-    def build(cls, cfg: MiningConfig):
+    def build(cls, cfg: MiningConfig, tail_width: int = TAIL_WIDTH):
         import jax.numpy as jnp
 
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
@@ -78,11 +116,13 @@ class _Scalars:
             emax=jnp.asarray(cfg.emax, jnp.float32),
             use_egate=jnp.asarray(cfg.emax > 0, bool),
             mindepth=i32(cfg.mindepth), maxdepth=i32(maxd),
+            tail_width=i32(tail_width),
         )
 
     def flat(self):
         return (self.fmin, self.pmin, self.pmax, self.emin, self.emax,
-                self.use_egate, self.mindepth, self.maxdepth)
+                self.use_egate, self.mindepth, self.maxdepth,
+                self.tail_width)
 
 
 def _seed_episode(dev: DeviceIndexes, cap: int, pathcap: int):
@@ -99,42 +139,15 @@ def _seed_episode(dev: DeviceIndexes, cap: int, pathcap: int):
         nvalid=jnp.asarray(1, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
         ocount=jnp.asarray(0, jnp.int32),
-        out_paths=jnp.zeros((OUT_RESERVE + cap, pathcap), jnp.int8),
-        out_freq=jnp.zeros((OUT_RESERVE + cap, S), jnp.int32),
-        out_depth=jnp.zeros(OUT_RESERVE + cap, jnp.int32),
+        out_paths=jnp.zeros((OUT_RESERVE + cap + CHUNK, pathcap), jnp.int8),
+        out_freq=jnp.zeros((OUT_RESERVE + cap + CHUNK, S), jnp.int32),
+        out_depth=jnp.zeros(OUT_RESERVE + cap + CHUNK, jnp.int32),
         total_paths=jnp.asarray(0, jnp.int32),
         ent_min=jnp.asarray(np.inf, jnp.float32),
         ent_max=jnp.asarray(-np.inf, jnp.float32),
         flag=jnp.asarray(FLAG_RUN, jnp.int32),
     )
     return state
-
-
-def _chunked_expand(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin):
-    """expand_core over CHUNK-row slices via lax.map: bounds the
-    (rows, S, 10, BLOCK) occ-gather intermediates regardless of CAP."""
-    import jax
-    from jax import lax
-
-    cap = lo.shape[0]
-    if cap <= CHUNK:
-        return expand_core(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin)
-    assert cap % CHUNK == 0
-    k = cap // CHUNK
-
-    def one(args):
-        lo_c, hi_c, elo_c, ehi_c, valid_c = args
-        return expand_core(blocks, occ, C4, lo_c, hi_c, elo_c, ehi_c,
-                           valid_c, fmin)
-
-    r = lax.map(one, (
-        lo.reshape(k, CHUNK, *lo.shape[1:]),
-        hi.reshape(k, CHUNK, *hi.shape[1:]),
-        elo.reshape(k, CHUNK, *elo.shape[1:]),
-        ehi.reshape(k, CHUNK, *ehi.shape[1:]),
-        valid.reshape(k, CHUNK),
-    ))
-    return {key: v.reshape(cap, *v.shape[2:]) for key, v in r.items()}
 
 
 def _entropy_f32(freq, nactive, d):
@@ -150,55 +163,72 @@ def _entropy_f32(freq, nactive, d):
 
 def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
                   state):
+    """One trie level, processed in CHUNK-row slices with a DYNAMIC trip
+    count: compute scales with the live frontier width (state["nvalid"]),
+    not the capacity bucket, so buckets can be few and large without a
+    padding tax.  Each chunk fuses expansion, the output gates, and
+    stream compaction of both outputs and the next frontier (running
+    offsets + fixed-width dynamic_update_slice whose garbage tail is
+    overwritten by the next chunk's write)."""
     import jax.numpy as jnp
     from jax import lax
 
-    lo, hi = state["lo"], state["hi"]
-    cap, S = lo.shape
+    cap, S = state["lo"].shape
     pathcap = state["paths"].shape[1]
     depth = state["depth"]
-    valid = jnp.arange(cap, dtype=jnp.int32) < state["nvalid"]
-
-    core = _chunked_expand(dev_blocks, dev_occ, dev_C4, lo, hi,
-                           state["elo"], state["ehi"], valid, sc.fmin)
+    nvalid = state["nvalid"]
+    nchunks = (nvalid + CHUNK - 1) // CHUNK
 
     # per-level symbol mask: enforced prefix, then maxdepth cutoff
     sym_mask = jnp.ones(4, dtype=bool)
     if len(prefix_codes):
-        pc = jnp.asarray(prefix_codes, jnp.int32)
-        enforced = pc[jnp.minimum(depth, len(prefix_codes) - 1)]
+        pcs = jnp.asarray(prefix_codes, jnp.int32)
+        enforced = pcs[jnp.minimum(depth, len(prefix_codes) - 1)]
         onehot = jnp.arange(4, dtype=jnp.int32) == enforced
         sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
-    union_child = (core["child_counts"] > 0) & sym_mask[None, :]
-    nactive = core["nactive"]
-    numchildren = union_child.sum(axis=-1)
-    single_idx = jnp.argmax(union_child, axis=-1)
-    single_full = (numchildren == 1) & (
-        jnp.take_along_axis(core["child_counts"], single_idx[..., None],
-                            axis=-1)[..., 0] == nactive)
+    # next-frontier + output buffers have CHUNK*4 / CHUNK slack rows so a
+    # full chunk write at the running offset never clips
+    nxt = dict(
+        lo=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
+        hi=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
+        elo=jnp.zeros((cap + 4 * CHUNK, S, 4), jnp.int32),
+        ehi=jnp.zeros((cap + 4 * CHUNK, S, 4), jnp.int32),
+        paths=jnp.zeros((cap + 4 * CHUNK, pathcap), jnp.int8),
+        keep=jnp.zeros((cap + 4 * CHUNK, S), bool),
+    )
 
-    child_count = (union_child & valid[:, None]).sum(dtype=jnp.int32)
-    grow = child_count > cap
-    grow_path = (depth + 1 >= pathcap) & (child_count > 0)
+    def chunk_step(i, carry):
+        nxt, out_paths, out_freq, out_depth, child_off, oc, tp, emn, emx = carry
+        base = i * CHUNK
+        lo_c = lax.dynamic_slice_in_dim(state["lo"], base, CHUNK)
+        hi_c = lax.dynamic_slice_in_dim(state["hi"], base, CHUNK)
+        elo_c = lax.dynamic_slice_in_dim(state["elo"], base, CHUNK)
+        ehi_c = lax.dynamic_slice_in_dim(state["ehi"], base, CHUNK)
+        valid_c = (base + jnp.arange(CHUNK, dtype=jnp.int32)) < nvalid
+        paths_c = lax.dynamic_slice(state["paths"], (base, 0),
+                                    (CHUNK, pathcap))
 
-    def redo(_):
-        out = dict(state)
-        out["flag"] = jnp.where(grow, FLAG_GROW, FLAG_GROWPATH
-                                ).astype(jnp.int32)
-        return out
+        core = expand_core(dev_blocks, dev_occ, dev_C4, lo_c, hi_c,
+                           elo_c, ehi_c, valid_c, sc.fmin)
+        union_child = (core["child_counts"] > 0) & sym_mask[None, :] \
+            & valid_c[:, None]
+        nactive = core["nactive"]
+        numchildren = union_child.sum(axis=-1)
+        single_idx = jnp.argmax(union_child, axis=-1)
+        single_full = (numchildren == 1) & (
+            jnp.take_along_axis(core["child_counts"], single_idx[..., None],
+                                axis=-1)[..., 0] == nactive)
 
-    def advance(_):
-        # ---- emit current level (depth >= 1) --------------------------
+        # ---- output gates for this chunk's nodes (depth >= 1) ---------
         freq = core["freq"]
         active = freq > 0
-        present = (nactive > 0) & valid & (depth >= 1)
+        present = (nactive > 0) & valid_c & (depth >= 1)
         lc = core["lc"]
         lc_min = jnp.where(active, lc, 99).min(axis=1)
         lc_max = jnp.where(active, lc, -1).max(axis=1)
         lc_agg = jnp.where(lc_min == lc_max, lc_max, 1)  # 1 == LC_N
-
         ent32 = _entropy_f32(freq, nactive, S)
         egate = jnp.where(
             sc.use_egate,
@@ -209,54 +239,89 @@ def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
                   & ((sc.pmax == 0) | (nactive <= sc.pmax))
                   & egate & ~single_full & (lc_agg < 2))
 
-        perm = jnp.argsort(jnp.logical_not(output), stable=True)
-        k = output.sum(dtype=jnp.int32)
-        oc = state["ocount"]
-        out_paths = lax.dynamic_update_slice(
-            state["out_paths"], state["paths"][perm], (oc, 0))
-        out_freq = lax.dynamic_update_slice(
-            state["out_freq"], freq[perm], (oc, 0))
+        operm = jnp.argsort(jnp.logical_not(output), stable=True)
+        k_out = output.sum(dtype=jnp.int32)
+        out_paths = lax.dynamic_update_slice(out_paths, paths_c[operm],
+                                             (oc, 0))
+        out_freq = lax.dynamic_update_slice(out_freq, freq[operm], (oc, 0))
         out_depth = lax.dynamic_update_slice(
-            state["out_depth"], jnp.full(cap, depth, jnp.int32), (oc,))
-        oc = oc + k
+            out_depth, jnp.full(CHUNK, depth, jnp.int32), (oc,))
+        oc = oc + k_out
 
         stat_rows = present & ~((nactive == 1) & (sc.pmin > 1))
-        ent_sel = jnp.where(stat_rows, ent32, np.inf)
-        ent_min = jnp.minimum(state["ent_min"], ent_sel.min())
-        ent_sel = jnp.where(stat_rows, ent32, -np.inf)
-        ent_max = jnp.maximum(state["ent_max"], ent_sel.max())
-        total_paths = state["total_paths"] + present.sum(dtype=jnp.int32)
+        emn = jnp.minimum(emn, jnp.where(stat_rows, ent32, np.inf).min())
+        emx = jnp.maximum(emx, jnp.where(stat_rows, ent32, -np.inf).max())
+        tp = tp + present.sum(dtype=jnp.int32)
 
-        # ---- compact children into the next frontier ------------------
-        cv_flat = (union_child & valid[:, None]).reshape(-1)
-        cperm = jnp.argsort(jnp.logical_not(cv_flat), stable=True)[:cap]
-        parent_row = (cperm // 4).astype(jnp.int32)
+        # ---- compact this chunk's children ------------------------------
+        cv_flat = union_child.reshape(-1)                  # (CHUNK*4,)
+        cperm = jnp.argsort(jnp.logical_not(cv_flat), stable=True)
+        k_c = cv_flat.sum(dtype=jnp.int32)
+        parent_loc = (cperm // 4).astype(jnp.int32)
         sym = (cperm % 4).astype(jnp.int32)
-        valid_next = jnp.arange(cap, dtype=jnp.int32) < child_count
 
-        clo_f = core["clo"].transpose(0, 2, 1).reshape(cap * 4, S)
-        chi_f = core["chi"].transpose(0, 2, 1).reshape(cap * 4, S)
-        cact_f = core["cactive"].transpose(0, 2, 1).reshape(cap * 4, S)
-        celo_f = core["celo"].transpose(0, 3, 1, 2).reshape(cap * 4, S, 4)
-        cehi_f = core["cehi"].transpose(0, 3, 1, 2).reshape(cap * 4, S, 4)
-        keep = cact_f[cperm] & valid_next[:, None]
+        clo_f = core["clo"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
+        chi_f = core["chi"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
+        cact_f = core["cactive"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
+        celo_f = core["celo"].transpose(0, 3, 1, 2).reshape(CHUNK * 4, S, 4)
+        cehi_f = core["cehi"].transpose(0, 3, 1, 2).reshape(CHUNK * 4, S, 4)
 
-        paths_next = state["paths"][parent_row]
+        paths_next = paths_c[parent_loc]
         col = jnp.arange(pathcap, dtype=jnp.int32)[None, :]
         paths_next = jnp.where(col == depth, sym[:, None].astype(jnp.int8),
                                paths_next)
 
+        woff = jnp.minimum(child_off, cap)  # clip on overflow (redone)
+        nxt = dict(
+            lo=lax.dynamic_update_slice(nxt["lo"], clo_f[cperm], (woff, 0)),
+            hi=lax.dynamic_update_slice(nxt["hi"], chi_f[cperm], (woff, 0)),
+            elo=lax.dynamic_update_slice(nxt["elo"], celo_f[cperm],
+                                         (woff, 0, 0)),
+            ehi=lax.dynamic_update_slice(nxt["ehi"], cehi_f[cperm],
+                                         (woff, 0, 0)),
+            paths=lax.dynamic_update_slice(nxt["paths"], paths_next,
+                                           (woff, 0)),
+            keep=lax.dynamic_update_slice(nxt["keep"], cact_f[cperm],
+                                          (woff, 0)),
+        )
+        return (nxt, out_paths, out_freq, out_depth, child_off + k_c, oc,
+                tp, emn, emx)
+
+    carry = (nxt, state["out_paths"], state["out_freq"], state["out_depth"],
+             jnp.asarray(0, jnp.int32), state["ocount"],
+             state["total_paths"], state["ent_min"], state["ent_max"])
+    (nxt, out_paths, out_freq, out_depth, child_count, oc, total_paths,
+     ent_min, ent_max) = lax.fori_loop(0, nchunks, chunk_step, carry)
+
+    grow = child_count > cap
+    grow_path = (depth + 1 >= pathcap) & (child_count > 0)
+
+    def redo(_):
+        out = dict(state)
+        out["flag"] = jnp.where(grow, FLAG_GROW, FLAG_GROWPATH
+                                ).astype(jnp.int32)
+        return out
+
+    def advance(_):
+        rowi = jnp.arange(cap, dtype=jnp.int32)
+        valid_next = rowi < child_count
+        keep = nxt["keep"][:cap] & valid_next[:, None]
+        # shrink only when the target bucket is strictly smaller:
+        # child_count <= cap/(2*GROWTH) rounds up to at most cap/GROWTH
         flag = jnp.where(
             child_count == 0, FLAG_DONE,
-            jnp.where(oc > OUT_RESERVE, FLAG_DRAIN,
-                      jnp.where((child_count * 8 <= cap) & (cap > MIN_CAP),
-                                FLAG_SHRINK, FLAG_RUN))).astype(jnp.int32)
-
+            jnp.where((child_count <= sc.tail_width)
+                      & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
+                      jnp.where(oc > OUT_RESERVE, FLAG_DRAIN,
+                                jnp.where((child_count * (2 * GROWTH) <= cap)
+                                          & (cap > DEV_MIN_CAP),
+                                          FLAG_SHRINK, FLAG_RUN)))
+        ).astype(jnp.int32)
         return dict(
-            lo=jnp.where(keep, clo_f[cperm], 0),
-            hi=jnp.where(keep, chi_f[cperm], 0),
-            elo=celo_f[cperm], ehi=cehi_f[cperm],
-            paths=paths_next, nvalid=child_count, depth=depth + 1,
+            lo=jnp.where(keep, nxt["lo"][:cap], 0),
+            hi=jnp.where(keep, nxt["hi"][:cap], 0),
+            elo=nxt["elo"][:cap], ehi=nxt["ehi"][:cap],
+            paths=nxt["paths"][:cap], nvalid=child_count, depth=depth + 1,
             ocount=oc, out_paths=out_paths, out_freq=out_freq,
             out_depth=out_depth, total_paths=total_paths,
             ent_min=ent_min, ent_max=ent_max, flag=flag,
@@ -308,7 +373,7 @@ def _resize_state(state, cap: int, pathcap: int):
         out[k] = pad_rows(state[k], cap)
     out["paths"] = pad_cols(pad_rows(state["paths"], cap), pathcap)
     for k in ("out_paths", "out_freq", "out_depth"):
-        out[k] = pad_rows(state[k], OUT_RESERVE + cap)
+        out[k] = pad_rows(state[k], OUT_RESERVE + cap + CHUNK)
     out["out_paths"] = pad_cols(out["out_paths"], pathcap)
     return out
 
@@ -342,16 +407,47 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state) -> None:
         out.lines.append((path, float(ent[i]), occs))
 
 
+def _handoff_tail(indexes, cfg, prefix, out, state, debug=False) -> None:
+    """FLAG_TAIL: pull the (narrow) frontier and finish on the host
+    (engine_np.mine_from_level) — thousands of thin deep levels cost
+    microseconds each there vs a full device step each here."""
+    import jax
+
+    from .engine_np import _Level, mine_from_level
+
+    n = int(state["nvalid"])
+    depth = int(state["depth"])
+    lo, hi, elo, ehi, pcodes = jax.device_get(
+        (state["lo"][:n], state["hi"][:n], state["elo"][:n],
+         state["ehi"][:n], state["paths"][:n, :depth]))
+    ext = np.frombuffer(EXT_CHARS, dtype=np.uint8)
+    paths = [ext[row.astype(np.int64)].tobytes() for row in pcodes]
+    level = _Level(paths=paths, lo=lo.astype(np.int64),
+                   hi=hi.astype(np.int64), elo=elo.astype(np.int64),
+                   ehi=ehi.astype(np.int64))
+    if debug:
+        import time as _t
+        t0 = _t.perf_counter()
+    mine_from_level(indexes, cfg, level, depth, out, prefix=prefix)
+    if debug:
+        print(f"mine_device: host tail from depth {depth} width {n} "
+              f"took {_t.perf_counter() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+
+
 def mine_device(
     indexes: list[FMIndex],
     cfg: MiningConfig,
     prefix: bytes = b"",
     dev: DeviceIndexes | None = None,
-    cap: int = MIN_CAP,
+    cap: int = DEV_MIN_CAP,
+    tail_width: int = TAIL_WIDTH,
 ) -> MinedOutput:
     """Mine with the device-resident episode loop (ascending reader
-    order).  Output lines/stats match engine_np.mine_np exactly except
-    smallest/largest-entropy diagnostics, which are f32-accurate."""
+    order), handing narrow deep frontiers to the host wavefront.
+    Output lines/stats match engine_np.mine_np exactly except
+    smallest/largest-entropy diagnostics, which are f32-accurate for
+    the device-emitted part."""
     import jax.numpy as jnp
 
     cfg.validate()
@@ -359,10 +455,12 @@ def mine_device(
         dev = DeviceIndexes.build(indexes)
     d = dev.S
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
-    sc = _Scalars.build(cfg)
+    sc = _Scalars.build(cfg, tail_width=tail_width)
     prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
+    debug = os.environ.get("DSM_DEBUG") == "1"
+    t0 = time.perf_counter()
 
-    cap = max(MIN_CAP, _next_pow2(cap) if cap & (cap - 1) else cap)
+    cap = _bucket(cap)
     pathcap = MIN_PATHCAP
     state = _seed_episode(dev, cap, pathcap)
 
@@ -370,23 +468,41 @@ def mine_device(
         fn = _jitted_episode(cap, pathcap, prefix_codes)
         state = fn(dev.blocks, dev.occ, dev.C4, state, *sc.flat())
         flag = int(state["flag"])
+        if debug:
+            print(f"mine_device: flag={flag} cap={cap} pathcap={pathcap} "
+                  f"depth={int(state['depth'])} nvalid={int(state['nvalid'])}"
+                  f" ocount={int(state['ocount'])} "
+                  f"t={time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
         if flag == FLAG_DONE:
             _drain(out, cfg, d, state)
             break
+        if flag == FLAG_TAIL:
+            _drain(out, cfg, d, state)
+            # fold device-side stats in BEFORE the host tail refines them
+            out.total_paths += int(state["total_paths"])
+            em, eM = float(state["ent_min"]), float(state["ent_max"])
+            if np.isfinite(em):
+                out.smallest_entropy = min(out.smallest_entropy, em)
+            if np.isfinite(eM):
+                out.largest_entropy = max(out.largest_entropy, eM)
+            _handoff_tail(indexes, cfg, prefix, out, state, debug=debug)
+            out.sort_postorder()
+            return out
         if flag == FLAG_DRAIN:
             _drain(out, cfg, d, state)
             state["ocount"] = jnp.asarray(0, jnp.int32)
         elif flag == FLAG_GROW:
-            cap *= 2
+            cap *= GROWTH
             state = _resize_state(state, cap, pathcap)
         elif flag == FLAG_GROWPATH:
-            pathcap *= 2
+            pathcap *= GROWTH
             state = _resize_state(state, cap, pathcap)
         elif flag == FLAG_SHRINK:
             # frontier is front-packed; safe to drop the all-zero tail
             _drain(out, cfg, d, state)
             state["ocount"] = jnp.asarray(0, jnp.int32)
-            cap = max(MIN_CAP, _next_pow2(int(state["nvalid"])))
+            cap = _bucket(int(state["nvalid"]))
             state = _resize_state(state, cap, pathcap)
         state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
 

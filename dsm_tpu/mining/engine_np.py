@@ -274,8 +274,27 @@ def mine_np(
 
         tracker = GnuOrderTracker(d, server_prefix_len=max(1, len(prefix)))
 
-    level = _seed_root(indexes)
-    depth = 0
+    mine_from_level(indexes, cfg, _seed_root(indexes), 0, out,
+                    prefix=prefix, tracker=tracker)
+    out.sort_postorder()
+    return out
+
+
+def mine_from_level(
+    indexes: list[FMIndex],
+    cfg: MiningConfig,
+    level: _Level,
+    depth: int,
+    out: MinedOutput,
+    prefix: bytes = b"",
+    tracker=None,
+) -> None:
+    """Run the wavefront from an arbitrary frontier `level` at `depth`
+    until exhaustion, accumulating into `out` (lines unsorted).  Also the
+    tail stage of the hybrid device engine: the accelerator episode hands
+    off its narrow deep frontier here (engine_device.mine_device), where
+    a thin level costs microseconds instead of a full device step."""
+    d = len(indexes)
     prefix_codes = list(prefix)
 
     while level.lo.shape[0]:
@@ -331,6 +350,3 @@ def mine_np(
             elo=celo[ci_idx, u_idx], ehi=cehi[ci_idx, u_idx],
         )
         depth += 1
-
-    out.sort_postorder()
-    return out

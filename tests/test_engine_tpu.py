@@ -90,6 +90,20 @@ def test_engine_enforced_prefix(indexes, dev):
         assert got.format_lines() == want.format_lines()
 
 
+def test_engine_tail_handoff_equivalence(small_indexes):
+    """Pure-device episodes (tail_width=0) and immediate host handoff
+    (tail_width huge) must produce identical output to the oracle —
+    the hybrid split point is invisible in the result."""
+    from dsm_tpu.mining.engine_device import mine_device
+
+    cfg = MiningConfig(fmin=2, emax=99)
+    want = mine_np(small_indexes, cfg)
+    for tw in (0, 1 << 20):
+        got = mine_device(small_indexes, cfg, tail_width=tw)
+        assert got.format_lines() == want.format_lines(), f"tail_width={tw}"
+        assert got.total_paths == want.total_paths
+
+
 def test_engine_full_depth_small(small_indexes):
     """Unbounded depth: exercises unary chains, frontier shrink/overflow
     regrow, and loop termination against the oracle."""
