@@ -175,7 +175,8 @@ def cmd_mine(args) -> int:
         from ..mining.engine import mine_tpu
 
         out = mine_tpu(indexes, cfg, prefix=prefix,
-                       reader_order=args.reader_order)
+                       reader_order=args.reader_order,
+                       checkpoint=args.checkpoint)
     sys.stdout.buffer.write(out.format_lines())
     if args.verbose:
         print(f"Number of paths: {out.total_paths}\n"
@@ -335,6 +336,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="ascending",
                    help="per-line reader order; 'gnu' replicates the "
                         "reference byte-exactly")
+    m.add_argument("--checkpoint", default=None,
+                   help="snapshot file written at episode exits and "
+                        "resumed from if present (tpu engine only)")
     m.add_argument("-v", "--verbose", action="store_true")
     m.set_defaults(fn=cmd_mine)
 

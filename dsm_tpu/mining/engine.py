@@ -282,15 +282,17 @@ def mine_tpu(
     reader_order: str = "ascending",
     dev: DeviceIndexes | None = None,
     cap: int = MIN_CAP,
+    checkpoint: str | None = None,
 ) -> MinedOutput:
     """Mine the cross-sample union trie on the accelerator.
 
     Same semantics and output as engine_np.mine_np (enforcepath via
     `prefix`, all MiningConfig gates).  The default 'ascending' reader
     order dispatches to the device-resident episode loop
-    (engine_device.mine_device — no per-level host round-trips);
-    reader_order='gnu' (byte-exact reference parity) keeps the per-level
-    loop here, whose host emission drives the order tracker.
+    (engine_device.mine_device — no per-level host round-trips), which
+    also supports checkpoint/resume; reader_order='gnu' (byte-exact
+    reference parity) keeps the per-level loop here, whose host emission
+    drives the order tracker.
     """
     import jax.numpy as jnp
 
@@ -298,7 +300,10 @@ def mine_tpu(
     if reader_order == "ascending":
         from .engine_device import mine_device
 
-        return mine_device(indexes, cfg, prefix=prefix, dev=dev, cap=cap)
+        return mine_device(indexes, cfg, prefix=prefix, dev=dev, cap=cap,
+                           checkpoint=checkpoint)
+    if checkpoint is not None:
+        raise ValueError("checkpointing requires reader_order='ascending'")
     if dev is None:
         dev = DeviceIndexes.build(indexes)
     d = dev.S

@@ -103,9 +103,11 @@ class _Scalars:
     mindepth: object
     maxdepth: object
     tail_width: object
+    out_reserve: object
 
     @classmethod
-    def build(cls, cfg: MiningConfig, tail_width: int = TAIL_WIDTH):
+    def build(cls, cfg: MiningConfig, tail_width: int = TAIL_WIDTH,
+              out_reserve: int = OUT_RESERVE):
         import jax.numpy as jnp
 
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
@@ -116,13 +118,13 @@ class _Scalars:
             emax=jnp.asarray(cfg.emax, jnp.float32),
             use_egate=jnp.asarray(cfg.emax > 0, bool),
             mindepth=i32(cfg.mindepth), maxdepth=i32(maxd),
-            tail_width=i32(tail_width),
+            tail_width=i32(tail_width), out_reserve=i32(out_reserve),
         )
 
     def flat(self):
         return (self.fmin, self.pmin, self.pmax, self.emin, self.emax,
                 self.use_egate, self.mindepth, self.maxdepth,
-                self.tail_width)
+                self.tail_width, self.out_reserve)
 
 
 def _seed_episode(dev: DeviceIndexes, cap: int, pathcap: int):
@@ -312,7 +314,7 @@ def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
             child_count == 0, FLAG_DONE,
             jnp.where((child_count <= sc.tail_width)
                       & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
-                      jnp.where(oc > OUT_RESERVE, FLAG_DRAIN,
+                      jnp.where(oc > sc.out_reserve, FLAG_DRAIN,
                                 jnp.where((child_count * (2 * GROWTH) <= cap)
                                           & (cap > DEV_MIN_CAP),
                                           FLAG_SHRINK, FLAG_RUN)))
@@ -442,12 +444,19 @@ def mine_device(
     dev: DeviceIndexes | None = None,
     cap: int = DEV_MIN_CAP,
     tail_width: int = TAIL_WIDTH,
+    out_reserve: int = OUT_RESERVE,
+    checkpoint: str | None = None,
 ) -> MinedOutput:
     """Mine with the device-resident episode loop (ascending reader
     order), handing narrow deep frontiers to the host wavefront.
     Output lines/stats match engine_np.mine_np exactly except
     smallest/largest-entropy diagnostics, which are f32-accurate for
-    the device-emitted part."""
+    the device-emitted part.
+
+    `checkpoint`: path to a snapshot written at every drain-type episode
+    exit and resumed from automatically when the file exists
+    (mining/checkpoint.py); `out_reserve` lowers the drain threshold
+    (more frequent exits -> finer checkpoints)."""
     import jax.numpy as jnp
 
     cfg.validate()
@@ -455,7 +464,8 @@ def mine_device(
         dev = DeviceIndexes.build(indexes)
     d = dev.S
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
-    sc = _Scalars.build(cfg, tail_width=tail_width)
+    sc = _Scalars.build(cfg, tail_width=tail_width,
+                        out_reserve=min(out_reserve, OUT_RESERVE))
     prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
     debug = os.environ.get("DSM_DEBUG") == "1"
     t0 = time.perf_counter()
@@ -463,6 +473,34 @@ def mine_device(
     cap = _bucket(cap)
     pathcap = MIN_PATHCAP
     state = _seed_episode(dev, cap, pathcap)
+    if checkpoint is not None and os.path.exists(checkpoint):
+        from .checkpoint import load_checkpoint
+
+        host_state, out = load_checkpoint(checkpoint, cfg, prefix, dev.ns)
+        cap = _bucket(max(int(host_state["nvalid"]), DEV_MIN_CAP))
+        pathcap = max(MIN_PATHCAP, host_state["paths"].shape[1])
+        fresh = _seed_episode(dev, cap, pathcap)
+        for k, v in host_state.items():
+            if k in ("out_paths", "out_freq", "out_depth"):
+                continue
+            arr = jnp.asarray(v)
+            if arr.ndim and k in ("lo", "hi", "elo", "ehi", "paths"):
+                tgt = fresh[k]
+                arr = arr[tuple(slice(0, t) for t in tgt.shape)]
+                pads = [(0, t - s) for t, s in zip(tgt.shape, arr.shape)]
+                arr = jnp.pad(arr, pads)
+            fresh[k] = arr
+        state = fresh
+        state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
+        if debug:
+            print(f"mine_device: resumed depth={int(state['depth'])} "
+                  f"nvalid={int(state['nvalid'])}", file=sys.stderr)
+
+    def _save() -> None:
+        if checkpoint is not None:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint, state, out, cfg, prefix, dev.ns)
 
     while True:
         fn = _jitted_episode(cap, pathcap, prefix_codes)
@@ -487,11 +525,14 @@ def mine_device(
             if np.isfinite(eM):
                 out.largest_entropy = max(out.largest_entropy, eM)
             _handoff_tail(indexes, cfg, prefix, out, state, debug=debug)
+            if checkpoint is not None and os.path.exists(checkpoint):
+                os.unlink(checkpoint)
             out.sort_postorder()
             return out
         if flag == FLAG_DRAIN:
             _drain(out, cfg, d, state)
             state["ocount"] = jnp.asarray(0, jnp.int32)
+            _save()
         elif flag == FLAG_GROW:
             cap *= GROWTH
             state = _resize_state(state, cap, pathcap)
@@ -504,11 +545,14 @@ def mine_device(
             state["ocount"] = jnp.asarray(0, jnp.int32)
             cap = _bucket(int(state["nvalid"]))
             state = _resize_state(state, cap, pathcap)
+            _save()
         state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
 
     out.total_paths = int(state["total_paths"])
     em, eM = float(state["ent_min"]), float(state["ent_max"])
     out.smallest_entropy = em if np.isfinite(em) else 1000.0
     out.largest_entropy = eM if np.isfinite(eM) else -1000.0
+    if checkpoint is not None and os.path.exists(checkpoint):
+        os.unlink(checkpoint)
     out.sort_postorder()
     return out

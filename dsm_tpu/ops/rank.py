@@ -14,8 +14,15 @@ one row gather + one 128-lane compare-and-sum, batched over an entire
 frontier of queries.  `LF(c, i) = C[c] + occ(c, i)` (FMIndex.h:84-90).
 
 `occ_prefix_np` is the NumPy oracle used by differential tests; `occ_batch`
-is the XLA implementation (used under jit); a Pallas kernel with explicit
-block DMA lives in ops/rank_pallas.py.
+is the XLA implementation (used under jit).
+
+A Pallas kernel was evaluated and measured SLOWER than XLA's gather on
+this toolchain (jax 0.9.0 Mosaic): `tpu.dynamic_gather` only shuffles
+within one vreg (8 sublanes / 128 lanes), so big-table vector gathers
+are inexpressible, and a scalar fori_loop kernel reaches ~4M queries/s
+vs ~50-90M/s for XLA's native gather (measured on v5e; rate is per ROW
+regardless of row bytes).  The engine therefore batches XLA gathers and
+minimizes gather COUNT instead (mining/engine_device.py).
 """
 
 from __future__ import annotations
