@@ -70,7 +70,8 @@ def cmd_build(args) -> int:
         out = build_index(inp, output=args.output,
                           samplerate=args.sample_rate or 0,
                           sa_backend=args.sa_backend, verbose=args.verbose,
-                          fmt=args.format)
+                          fmt=args.format,
+                          buffer_symbols=args.buffer_symbols)
         if args.verbose:
             print(f"Save complete. ({out})", file=sys.stderr)
     return 0
@@ -276,6 +277,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--sa-backend", choices=["numpy", "jax"], default="numpy")
     b.add_argument("--format", choices=["dsmi", "fmi"], default="dsmi",
                    help="fmi writes a reference-compatible v17 index")
+    b.add_argument("--buffer-symbols", type=_int_min(1, "--buffer-symbols"),
+                   default=0,
+                   help="bounded-memory build: flush+merge every N symbols")
     b.add_argument("-v", "--verbose", action="store_true")
     b.set_defaults(fn=cmd_build)
 

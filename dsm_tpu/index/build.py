@@ -36,6 +36,7 @@ def build_index(
     sa_backend: str = "numpy",
     verbose: bool = False,
     fmt: str = "dsmi",
+    buffer_symbols: int = 0,
 ) -> str:
     t0 = time.time()
     texts = []
@@ -50,7 +51,20 @@ def build_index(
             f"({time.time() - t0:.1f}s read+transform)",
             file=sys.stderr,
         )
-    idx = FMIndex.from_texts(texts, names, samplerate=samplerate, sa_backend=sa_backend)
+    if buffer_symbols:
+        # bounded-memory construction: chunked build + index merging
+        # (index/incremental.py, the RLCSABuilder flush/merge equivalent)
+        from .incremental import IncrementalBuilder
+
+        ib = IncrementalBuilder(buffer_symbols=buffer_symbols,
+                                samplerate=samplerate,
+                                sa_backend=sa_backend)
+        for t, nm in zip(texts, names):
+            ib.insert(t, nm)
+        idx = ib.finish()
+    else:
+        idx = FMIndex.from_texts(texts, names, samplerate=samplerate,
+                                 sa_backend=sa_backend)
     if fmt == "fmi":
         # reference-compatible artifact (same naming as builder.cpp:283)
         from .fmi_compat import save_fmi
