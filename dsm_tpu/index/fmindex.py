@@ -38,6 +38,25 @@ DEFAULT_SAMPLERATE = 124  # TextCollectionBuilder.h:30 (sampling itself is
 
 
 @dataclass
+class SASamples:
+    """Sampled suffix array for locate()/getPosition() — the role of the
+    reference's optional .sa side file (FMIndex::saveSamples
+    FMIndex.cpp:125-147, maketables :572-714; sampling is disabled in the
+    reference builder, builder.cpp:375, and mining never locates).
+
+    rows: sorted BWT row indices whose SA value is sampled;
+    vals: the SA values; term_sa: SA of the first numberOfTexts rows (the
+    terminator suffixes — the ArrayDoc equivalent, ArrayDoc.h:33-36);
+    text_starts: concatenated-space start of each text, ascending.
+    """
+
+    rows: np.ndarray
+    vals: np.ndarray
+    term_sa: np.ndarray
+    text_starts: np.ndarray
+
+
+@dataclass
 class FMIndex:
     n: int
     table: OccTable
@@ -45,7 +64,7 @@ class FMIndex:
     max_text_length: int
     samplerate: int = DEFAULT_SAMPLERATE
     names: list[str] = field(default_factory=list)
-    sa_samples: np.ndarray | None = None  # optional locate() support
+    sa_samples: SASamples | None = None  # optional locate() support
 
     # ---------------------------------------------------------- construction
     @classmethod
@@ -55,20 +74,26 @@ class FMIndex:
         names: Sequence[str] | None = None,
         samplerate: int = DEFAULT_SAMPLERATE,
         sa_backend: str = "numpy",
+        sample_sa: bool = False,
     ) -> "FMIndex":
         """Build from already-transformed texts (uint8 byte arrays, no
         terminators).  Each text contributes len+1 symbols, matching
         TextCollectionBuilder::InsertText (TextCollectionBuilder.cpp:65-92).
+        sample_sa=True additionally keeps SA samples every `samplerate`
+        text positions for locate()/get_position() (the reference's
+        maketables path, disabled in its builder).
         """
         if not texts:
             raise ValueError("cannot index an empty collection")
         parts = []
+        lengths = []
         max_len = 0
         for t in texts:
             if len(t) == 0:
                 raise ValueError("cannot index empty texts")
             parts.append(alphabet.encode(np.asarray(t, dtype=np.uint8)))
             parts.append(np.array([TERM], dtype=np.int8))
+            lengths.append(len(t) + 1)
             max_len = max(max_len, len(t) + 1)
         codes = np.concatenate(parts)
         if sa_backend == "jax":
@@ -79,6 +104,18 @@ class FMIndex:
             sa = suffix_array_np(codes)
         bwt = bwt_from_sa(codes, sa)
         table = OccTable.build(bwt)
+        samples = None
+        if sample_sa:
+            rate = max(1, samplerate)
+            mask = sa % rate == 0
+            rows = np.flatnonzero(mask)
+            starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            samples = SASamples(
+                rows=rows.astype(np.int64),
+                vals=sa[rows].astype(np.int64),
+                term_sa=sa[: len(texts)].astype(np.int64),
+                text_starts=starts.astype(np.int64),
+            )
         return cls(
             n=int(codes.shape[0]),
             table=table,
@@ -86,6 +123,7 @@ class FMIndex:
             max_text_length=max_len,
             samplerate=samplerate,
             names=list(names) if names is not None else [],
+            sa_samples=samples,
         )
 
     # ---------------------------------------------------------------- queries
@@ -145,6 +183,81 @@ class FMIndex:
         """BWT code at row i (HuffWT::access / FMIndex::getL equivalent)."""
         return int(self.table.blocks[i // BLOCK, i % BLOCK])
 
+    # ------------------------------------------------------------- locate
+    def search(self, pattern: bytes) -> tuple[int, int]:
+        """Backward search -> half-open row interval (FMIndex::Search,
+        FMIndex.cpp:360-381)."""
+        codes = alphabet.encode(np.frombuffer(pattern, dtype=np.uint8))
+        lo, hi = 0, self.n
+        for c in codes[::-1]:
+            nlo, nhi = self.extend(int(c), lo, hi)
+            lo, hi = int(nlo.reshape(-1)[0]), int(nhi.reshape(-1)[0])
+            if lo >= hi:
+                return lo, lo
+        return lo, hi
+
+    def locate(self, rows) -> np.ndarray:
+        """SA values for BWT rows, via sampled-SA LF walks — vectorized
+        getPosition (FMIndex.h:105-120).  Requires sample_sa=True at
+        build time."""
+        if self.sa_samples is None:
+            raise ValueError("index was built without SA samples "
+                             "(from_texts(sample_sa=True))")
+        s = self.sa_samples
+        rows = np.asarray(rows, dtype=np.int64).copy()
+        out = np.full(rows.shape, -1, dtype=np.int64)
+        dist = np.zeros(rows.shape, dtype=np.int64)
+        pending = np.ones(rows.shape, dtype=bool)
+        flat = self.table.blocks.reshape(-1)
+        for _ in range(self.n + 1):
+            idx = np.searchsorted(s.rows, rows)
+            idx_c = np.minimum(idx, len(s.rows) - 1)
+            hit = pending & (s.rows[idx_c] == rows)
+            out[hit] = s.vals[idx_c[hit]] + dist[hit]
+            pending &= ~hit
+            if not pending.any():
+                break
+            c = flat[rows].astype(np.int64)
+            # one LF step: SA[next] = SA[row] - 1
+            nxt = self.C[c] + occ_prefix_np(
+                self.table, c.astype(np.int8), rows)
+            term = pending & (c == TERM)
+            if term.any():
+                # landed on a terminator row: its SA value is recorded
+                out[term] = (s.term_sa[nxt[term]] + 1 + dist[term]) % self.n
+                pending &= ~term
+                if not pending.any():
+                    break
+            rows = np.where(pending, nxt, rows)
+            dist += pending
+        return out
+
+    def get_position(self, rows) -> tuple[np.ndarray, np.ndarray]:
+        """-> (doc_id, in-text offset) per row — TextCollection
+        getPosition/getDocId semantics (TextCollection.h:76-88)."""
+        pos = self.locate(rows)
+        s = self.sa_samples
+        doc = np.searchsorted(s.text_starts, pos, side="right") - 1
+        return doc, pos - s.text_starts[doc]
+
+    def occurrences(self, pattern: bytes) -> list[tuple[int, int]]:
+        """All (doc, offset) occurrences (getOccurrences,
+        TextCollection.h:93-96), sorted."""
+        lo, hi = self.search(pattern)
+        if lo >= hi:
+            return []
+        doc, off = self.get_position(np.arange(lo, hi))
+        return sorted(zip(doc.tolist(), off.tolist()))
+
+    def reads_containing(self, pattern: bytes) -> list[int]:
+        """Distinct doc ids with >= 1 occurrence — the ResultSet /
+        outputReads role (FMIndex.cpp:427-484) without storing text."""
+        lo, hi = self.search(pattern)
+        if lo >= hi:
+            return []
+        doc, _ = self.get_position(np.arange(lo, hi))
+        return np.unique(doc).tolist()
+
     def check(self) -> bool:
         """The metaenumerate --check invariant (metaenumerate.cpp:93-127):
         per-symbol interval sizes must sum to n."""
@@ -175,7 +288,12 @@ class FMIndex:
             "C": self.table.C,
         }
         if self.sa_samples is not None:
-            arrays["sa_samples"] = self.sa_samples
+            # the reference keeps these in a separate .sa side file
+            # (FMIndex::saveSamples); one artifact is simpler
+            arrays["sa_rows"] = self.sa_samples.rows
+            arrays["sa_vals"] = self.sa_samples.vals
+            arrays["sa_term"] = self.sa_samples.term_sa
+            arrays["sa_starts"] = self.sa_samples.text_starts
         with open(path, "wb") as f:  # keep the exact filename (no .npz suffix)
             np.savez_compressed(f, **arrays)
 
@@ -203,6 +321,11 @@ class FMIndex:
                 counts=z["counts"],
                 C=z["C"],
             )
+            samples = None
+            if "sa_rows" in z.files:
+                samples = SASamples(rows=z["sa_rows"], vals=z["sa_vals"],
+                                    term_sa=z["sa_term"],
+                                    text_starts=z["sa_starts"])
             return cls(
                 n=meta["n"],
                 table=table,
@@ -210,5 +333,5 @@ class FMIndex:
                 max_text_length=meta["max_text_length"],
                 samplerate=meta["samplerate"],
                 names=list(meta["names"]),
-                sa_samples=z["sa_samples"] if "sa_samples" in z.files else None,
+                sa_samples=samples,
             )

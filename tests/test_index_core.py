@@ -143,3 +143,49 @@ def test_lf_ref_convention():
         assert idx.lf_ref(c, -1) == int(idx.C[c])
     # sum over full-range intervals covers n (the --check invariant)
     assert idx.check()
+
+
+def test_locate_and_positions(rng):
+    """SA-sample locate/get_position/occurrences vs brute force."""
+    from dsm_tpu.index.alphabet import transform
+    from dsm_tpu.index.fmindex import FMIndex
+
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    raw = [bases[rng.integers(0, 4, size=int(rng.integers(40, 120)))].tobytes()
+           for _ in range(9)]
+    texts = [transform(t) for t in raw]
+    idx = FMIndex.from_texts(texts, samplerate=16, sample_sa=True)
+
+    # brute-force concatenation for ground truth
+    concat = b"".join(bytes(t) + b"\x00" for t in texts)
+    starts, s = [], 0
+    for t in texts:
+        starts.append(s)
+        s += len(t) + 1
+
+    for _ in range(25):
+        tsel = int(rng.integers(0, 9))
+        off = int(rng.integers(0, max(1, len(texts[tsel]) - 8)))
+        pat = bytes(texts[tsel][off:off + 8])
+        if b"\x00" in pat or len(pat) < 4:
+            continue
+        occs = idx.occurrences(pat)
+        want = []
+        p = concat.find(pat)
+        while p != -1:
+            doc = max(i for i, st in enumerate(starts) if st <= p)
+            want.append((doc, p - starts[doc]))
+            p = concat.find(pat, p + 1)
+        assert occs == sorted(want), pat
+        docs = idx.reads_containing(pat)
+        assert docs == sorted({d for d, _ in want})
+
+    # save/load round-trips the samples
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "x.dsmi")
+        idx.save(path)
+        back = FMIndex.load(path)
+        assert back.sa_samples is not None
+        pat = bytes(texts[0][:6])
+        assert back.occurrences(pat) == idx.occurrences(pat)
