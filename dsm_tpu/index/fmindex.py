@@ -107,9 +107,15 @@ class FMIndex:
         samples = None
         if sample_sa:
             rate = max(1, samplerate)
-            mask = sa % rate == 0
-            rows = np.flatnonzero(mask)
             starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+            # Sample every text-start position in addition to the regular
+            # stride: a locate() walk reaches a text start exactly when the
+            # next LF step would be on a terminator, and terminator LF is
+            # not well-defined in this pseudo-BWT (the wrap row injects a
+            # fake '\0' occurrence into L — see bwt_from_sa).  Sampling the
+            # starts guarantees the walk terminates before ever taking it.
+            mask = (sa % rate == 0) | np.isin(sa, starts)
+            rows = np.flatnonzero(mask)
             samples = SASamples(
                 rows=rows.astype(np.int64),
                 vals=sa[rows].astype(np.int64),
@@ -218,16 +224,13 @@ class FMIndex:
             if not pending.any():
                 break
             c = flat[rows].astype(np.int64)
+            if (pending & (c == TERM)).any():
+                # cannot happen: rows with L == '\0' have SA at a text
+                # start, and every text start is sampled (from_texts)
+                raise AssertionError("locate walk reached a terminator LF")
             # one LF step: SA[next] = SA[row] - 1
             nxt = self.C[c] + occ_prefix_np(
                 self.table, c.astype(np.int8), rows)
-            term = pending & (c == TERM)
-            if term.any():
-                # landed on a terminator row: its SA value is recorded
-                out[term] = (s.term_sa[nxt[term]] + 1 + dist[term]) % self.n
-                pending &= ~term
-                if not pending.any():
-                    break
             rows = np.where(pending, nxt, rows)
             dist += pending
         return out
