@@ -14,9 +14,21 @@ Intervals here are half-open [lo, hi): the reference's (smin, smax) is
 (lo, hi-1).  pushChar(c) of Query.h:37-45 becomes
     lo' = C[c] + occ(c, lo), hi' = C[c] + occ(c, hi),   empty iff lo' >= hi'.
 
-The artifact format is a versioned .npz ("dsm-tpu index v1") carrying the
+The index is BIDIRECTIONAL (2BWT): alongside the BWT of the texts it
+keeps the BWT of the per-text REVERSED texts (`rtable`).  The mining
+engines synchronize an interval in each direction per trie node, which
+replaces the reference's four tracked left-extension intervals
+(EnumerateQuery.h:44-45) — the reverse interval start is maintained with
+lexicographic prefix sums computed from the forward counts, and the
+leftChar classification (EnumerateQuery.cpp:77-103) reads the right-
+extension counts straight out of the reverse BWT.  10 rank positions per
+(node, sample) per level become 4.
+
+The artifact format is a versioned .npz ("dsm-tpu index v2") carrying the
 same metadata as the reference's .fmi v17 (FMIndex.cpp:155-217): n,
 samplerate, per-symbol counts, number of texts, max text length, names.
+v1 artifacts (no reverse table) load with the reverse table reconstructed
+by BWT inversion (extract_texts).
 """
 
 from __future__ import annotations
@@ -32,7 +44,7 @@ from ..ops.sa import bwt_from_sa, suffix_array_np
 from . import alphabet
 from .alphabet import SIGMA, TERM
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 DEFAULT_SAMPLERATE = 124  # TextCollectionBuilder.h:30 (sampling itself is
 #                           disabled in the reference builder, builder.cpp:375)
 
@@ -45,15 +57,32 @@ class SASamples:
     reference builder, builder.cpp:375, and mining never locates).
 
     rows: sorted BWT row indices whose SA value is sampled;
-    vals: the SA values; term_sa: SA of the first numberOfTexts rows (the
-    terminator suffixes — the ArrayDoc equivalent, ArrayDoc.h:33-36);
+    vals: the SA values;
     text_starts: concatenated-space start of each text, ascending.
+    Every text start is sampled (locate() relies on it to terminate
+    before any terminator LF step).
     """
 
     rows: np.ndarray
     vals: np.ndarray
-    term_sa: np.ndarray
     text_starts: np.ndarray
+
+
+def _rtable_from_texts(code_texts: list[np.ndarray],
+                       sa_backend: str = "numpy") -> OccTable:
+    """Occ table of the BWT of the per-text reversed collection."""
+    parts = []
+    for t in code_texts:
+        parts.append(t[::-1])
+        parts.append(np.array([TERM], dtype=np.int8))
+    rcodes = np.concatenate(parts)
+    if sa_backend == "jax":
+        from ..ops.sa import suffix_array_jax
+
+        rsa = np.asarray(suffix_array_jax(rcodes)).astype(np.int64)
+    else:
+        rsa = suffix_array_np(rcodes)
+    return OccTable.build(bwt_from_sa(rcodes, rsa))
 
 
 @dataclass
@@ -65,6 +94,15 @@ class FMIndex:
     samplerate: int = DEFAULT_SAMPLERATE
     names: list[str] = field(default_factory=list)
     sa_samples: SASamples | None = None  # optional locate() support
+    _rtable: OccTable | None = None      # reverse-text BWT (lazy for v1/.fmi)
+
+    @property
+    def rtable(self) -> OccTable:
+        """Reverse-direction occ table (2BWT).  Reconstructed by BWT
+        inversion for artifacts that predate it (v1 .npz, reference .fmi)."""
+        if self._rtable is None:
+            self._rtable = _rtable_from_texts(self.extract_texts())
+        return self._rtable
 
     # ---------------------------------------------------------- construction
     @classmethod
@@ -104,6 +142,8 @@ class FMIndex:
             sa = suffix_array_np(codes)
         bwt = bwt_from_sa(codes, sa)
         table = OccTable.build(bwt)
+        rtable = _rtable_from_texts(
+            [parts[2 * i] for i in range(len(texts))], sa_backend=sa_backend)
         samples = None
         if sample_sa:
             rate = max(1, samplerate)
@@ -119,7 +159,6 @@ class FMIndex:
             samples = SASamples(
                 rows=rows.astype(np.int64),
                 vals=sa[rows].astype(np.int64),
-                term_sa=sa[: len(texts)].astype(np.int64),
                 text_starts=starts.astype(np.int64),
             )
         return cls(
@@ -130,6 +169,7 @@ class FMIndex:
             samplerate=samplerate,
             names=list(names) if names is not None else [],
             sa_samples=samples,
+            _rtable=rtable,
         )
 
     # ---------------------------------------------------------------- queries
@@ -141,23 +181,60 @@ class FMIndex:
         """Count of syms[j] in L[: pos[j]] (prefix-length convention)."""
         return occ_prefix_np(self.table, np.asarray(syms), np.asarray(pos))
 
-    _docc: np.ndarray | None = None
+    _dcum: np.ndarray | None = None
+    _rdcum: np.ndarray | None = None
+
+    @staticmethod
+    def _dense_cum(table: OccTable, n: int) -> np.ndarray:
+        """Dense (n+1, 5) int32 cumulative <=-counts of codes 1..5 —
+        turns a host-side occ/prefix-sum query into one gather (the same
+        quantities the device occ_cum kernel produces, ops/rank.py)."""
+        flat = table.blocks.reshape(-1)[:n]
+        le = flat[:, None] <= np.arange(1, 6, dtype=np.int8)
+        cum = np.zeros((n + 1, 5), dtype=np.int32)
+        np.cumsum(le, axis=0, out=cum[1:])
+        return cum
 
     @property
-    def docc(self) -> np.ndarray:
-        """Dense (n+1, 4) int32 prefix counts of the extension codes
-        A,C,G,T — turns a host-side occ query into one gather.  Used by the
-        NumPy oracle engine only; the TPU path keeps the sampled block
-        layout (ops/rank.py) whose HBM footprint is ~9 bits/symbol."""
-        if self._docc is None:
-            from . import alphabet
+    def dcum(self) -> np.ndarray:
+        """Forward dense cumulative counts (NumPy oracle engine only)."""
+        if self._dcum is None:
+            self._dcum = self._dense_cum(self.table, self.n)
+        return self._dcum
 
-            flat = self.table.blocks.reshape(-1)[: self.n]
-            onehot = flat[:, None] == alphabet.EXT_CODES[None, :]
-            docc = np.zeros((self.n + 1, 4), dtype=np.int32)
-            np.cumsum(onehot, axis=0, out=docc[1:])
-            self._docc = docc
-        return self._docc
+    @property
+    def rdcum(self) -> np.ndarray:
+        """Reverse-BWT dense cumulative counts (NumPy oracle engine)."""
+        if self._rdcum is None:
+            self._rdcum = self._dense_cum(self.rtable, self.n)
+        return self._rdcum
+
+    def extract_texts(self) -> list[np.ndarray]:
+        """Recover the indexed texts (as int8 code arrays, no terminator)
+        by vectorized multi-text BWT inversion — one LF walk per text,
+        started at each terminator row (rows [0, numberOfTexts): the '\\0'
+        suffixes sort first).  Text order follows terminator-row order,
+        which is all any user of the collection's *content* needs (the
+        reference reconstructs text via TextStorage instead,
+        TextStorage.h:74-96 — we never store plain text)."""
+        T = self.number_of_texts
+        rows = np.arange(T, dtype=np.int64)
+        flat = self.table.blocks.reshape(-1)
+        chunks: list[np.ndarray] = []
+        alive = np.ones(T, dtype=bool)
+        out = np.full((T, self.max_text_length), -1, dtype=np.int8)
+        pos = np.zeros(T, dtype=np.int64)
+        for _ in range(self.max_text_length + 1):
+            c = flat[rows]
+            alive &= c != TERM
+            if not alive.any():
+                break
+            out[alive, pos[alive]] = c[alive]
+            pos += alive
+            step = self.C[c] + occ_prefix_np(self.table, c, rows)
+            rows = np.where(alive, step, rows)
+        # walks read right-to-left; flip each to text order
+        return [out[t, :pos[t]][::-1].copy() for t in range(T)]
 
     def lf_ref(self, c: int, i: int) -> int:
         """Reference-convention LF (inclusive index, i may be -1):
@@ -289,13 +366,16 @@ class FMIndex:
             "occ": self.table.occ,
             "counts": self.table.counts,
             "C": self.table.C,
+            # reverse-direction table (2BWT); occ/counts are cheap to
+            # rebuild but storing them keeps load O(read)
+            "rblocks": self.rtable.blocks,
+            "rocc": self.rtable.occ,
         }
         if self.sa_samples is not None:
             # the reference keeps these in a separate .sa side file
             # (FMIndex::saveSamples); one artifact is simpler
             arrays["sa_rows"] = self.sa_samples.rows
             arrays["sa_vals"] = self.sa_samples.vals
-            arrays["sa_term"] = self.sa_samples.term_sa
             arrays["sa_starts"] = self.sa_samples.text_starts
         with open(path, "wb") as f:  # keep the exact filename (no .npz suffix)
             np.savez_compressed(f, **arrays)
@@ -324,11 +404,21 @@ class FMIndex:
                 counts=z["counts"],
                 C=z["C"],
             )
+            rtable = None
+            if "rblocks" in z.files:  # v2+; v1 reconstructs lazily
+                rtable = OccTable(n=meta["n"], blocks=z["rblocks"],
+                                  occ=z["rocc"], counts=z["counts"],
+                                  C=z["C"])
             samples = None
             if "sa_rows" in z.files:
                 samples = SASamples(rows=z["sa_rows"], vals=z["sa_vals"],
-                                    term_sa=z["sa_term"],
                                     text_starts=z["sa_starts"])
+                if meta["version"] < 2 and not np.isin(
+                        samples.text_starts, samples.vals).all():
+                    # pre-v2 stride-only samples: a locate() walk could
+                    # reach a terminator LF mid-walk; drop them so locate
+                    # fails fast with a clear "built without SA samples"
+                    samples = None
             return cls(
                 n=meta["n"],
                 table=table,
@@ -337,4 +427,5 @@ class FMIndex:
                 samplerate=meta["samplerate"],
                 names=list(meta["names"]),
                 sa_samples=samples,
+                _rtable=rtable,
             )

@@ -58,36 +58,35 @@ def _batch_codes(texts: Sequence[np.ndarray]):
     return np.concatenate(parts), np.asarray(lengths), max_len
 
 
-def batch_gaps(a: FMIndex, codes: np.ndarray, lengths: np.ndarray
-               ) -> np.ndarray:
-    """gaps[i] = # suffixes of `a` sorting before the batch suffix at
-    concatenated position i (distinct-terminator convention)."""
+def batch_gaps(table: OccTable, C: np.ndarray, ntexts_a: int,
+               codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """gaps[i] = # suffixes of the existing index sorting before the batch
+    suffix at concatenated position i (distinct-terminator convention)."""
     n_b = codes.shape[0]
     starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     ends = starts + lengths  # exclusive
     T = lengths.shape[0]
     gaps = np.empty(n_b, dtype=np.int64)
     # terminator rows: all of a's terminators sort first
-    gaps[ends - 1] = a.number_of_texts
-    r = np.full(T, a.number_of_texts, dtype=np.int64)
-    C = a.C
+    gaps[ends - 1] = ntexts_a
+    r = np.full(T, ntexts_a, dtype=np.int64)
     maxlen = int(lengths.max())
     for k in range(2, maxlen + 1):
         pos = ends - k
         act = pos >= starts
         p = np.where(act, pos, starts)
         c = codes[p]
-        r_new = C[c] + occ_prefix_np(a.table, c, r)
+        r_new = C[c] + occ_prefix_np(table, c, r)
         r = np.where(act, r_new, r)
         gaps[p[act]] = r[act]
     return gaps
 
 
-def merge_indexes(a: FMIndex, texts: Sequence[np.ndarray],
-                  names: Sequence[str] | None = None,
-                  sa_backend: str = "numpy") -> FMIndex:
-    """Merge already-transformed `texts` into index `a` -> new FMIndex."""
-    codes, lengths, max_len = _batch_codes(texts)
+def _merge_bwt(table: OccTable, C: np.ndarray, ntexts_a: int, n_a: int,
+               codes: np.ndarray, lengths: np.ndarray,
+               sa_backend: str) -> OccTable:
+    """One direction of the merge: interleave the batch's BWT into an
+    existing BWT by per-suffix gap counts."""
     if sa_backend == "jax":
         from ..ops.sa import suffix_array_jax
 
@@ -95,25 +94,47 @@ def merge_indexes(a: FMIndex, texts: Sequence[np.ndarray],
     else:
         sa_b = suffix_array_np(codes)
     bwt_b = bwt_from_sa(codes, sa_b)
-    gaps_pos = batch_gaps(a, codes, lengths)
+    gaps_pos = batch_gaps(table, C, ntexts_a, codes, lengths)
     gaps = gaps_pos[sa_b]            # in batch-rank order; non-decreasing
 
-    n_a, n_b = a.n, codes.shape[0]
-    bwt_a = a.table.blocks.reshape(-1)[:n_a]
+    n_b = codes.shape[0]
+    bwt_a = table.blocks.reshape(-1)[:n_a]
     merged = np.empty(n_a + n_b, dtype=np.int8)
     b_dest = gaps + np.arange(n_b, dtype=np.int64)
     mask = np.ones(n_a + n_b, dtype=bool)
     mask[b_dest] = False
     merged[b_dest] = bwt_b
     merged[mask] = bwt_a
+    return OccTable.build(merged)
+
+
+def merge_indexes(a: FMIndex, texts: Sequence[np.ndarray],
+                  names: Sequence[str] | None = None,
+                  sa_backend: str = "numpy") -> FMIndex:
+    """Merge already-transformed `texts` into index `a` -> new FMIndex.
+    Both directions of the bidirectional index are merged with the same
+    gap interleave (the reverse direction merges the reversed batch into
+    the reversed index)."""
+    codes, lengths, max_len = _batch_codes(texts)
+    table = _merge_bwt(a.table, a.C, a.number_of_texts, a.n,
+                       codes, lengths, sa_backend)
+    rparts = []
+    enc = [alphabet.encode(np.asarray(t, dtype=np.uint8)) for t in texts]
+    for t in enc:
+        rparts.append(t[::-1])
+        rparts.append(np.array([TERM], dtype=np.int8))
+    rcodes = np.concatenate(rparts)
+    rtable = _merge_bwt(a.rtable, a.C, a.number_of_texts, a.n,
+                        rcodes, lengths, sa_backend)
 
     return FMIndex(
-        n=n_a + n_b,
-        table=OccTable.build(merged),
+        n=a.n + codes.shape[0],
+        table=table,
         number_of_texts=a.number_of_texts + len(texts),
         max_text_length=max(a.max_text_length, max_len),
         samplerate=a.samplerate,
         names=list(a.names) + (list(names) if names is not None else []),
+        _rtable=rtable,
     )
 
 

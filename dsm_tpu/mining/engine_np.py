@@ -11,10 +11,20 @@ whole path — that is precisely the client-side pruning
 generated directly by expanding a dense (nodes x samples) table of BWT
 intervals; no per-sample trie serialization or lazy merge is needed.
 
-Per node and sample we carry the main interval plus the reference's four
-left-extension intervals (EnumerateQuery.h:44-45, updated per
-EnumerateQuery.cpp:39-58) for the leftChar computation
-(EnumerateQuery.cpp:77-103).  Entropy follows metaserver.cpp:366-389 with
+Per node and sample we carry the forward BWT interval [lo, hi) plus the
+start `rlo` of the synchronized REVERSE-index interval (bidirectional /
+2BWT search; the reverse interval is [rlo, rlo + (hi-lo))).  This
+replaces the reference's four tracked left-extension intervals
+(EnumerateQuery.h:44-45, updated per EnumerateQuery.cpp:39-58): a child's
+reverse start is rlo + #(occurrences of the node's pattern preceded by a
+lexicographically smaller base), a prefix sum over the forward counts,
+and the leftChar classification (EnumerateQuery.cpp:77-103) becomes
+right-extension counts read from the reverse BWT — `ext interval ==
+main interval` is equivalent to `count(P+b) == count(P)` because
+interval(P+b) is always a sub-interval of interval(P) (the reference's
+stale-keep of empty ext intervals, EnumerateQuery.cpp:44-55, has no
+semantic effect: a match requires a nonempty interval, and emptiness is
+permanent).  Entropy follows metaserver.cpp:366-389 with
 the reference's exact float64 expression shapes: the per-reader term is
 ((double)(freq+1) * log(freq+1)) / log(2) — multiply THEN divide, C
 left-to-right precedence — and the final value
@@ -89,85 +99,76 @@ class _Level:
     paths: list[bytes]
     lo: np.ndarray   # (U, S) int64, half-open; inactive rows are (0, 0)
     hi: np.ndarray
-    elo: np.ndarray  # (U, S, 4)
-    ehi: np.ndarray
+    rlo: np.ndarray  # (U, S) reverse-interval start; end is rlo + (hi-lo)
 
 
 def _seed_root(indexes: list[FMIndex]) -> _Level:
     S = len(indexes)
     lo = np.zeros((1, S), dtype=np.int64)
     hi = np.zeros((1, S), dtype=np.int64)
-    elo = np.zeros((1, S, 4), dtype=np.int64)
-    ehi = np.zeros((1, S, 4), dtype=np.int64)
+    rlo = np.zeros((1, S), dtype=np.int64)
     for s, idx in enumerate(indexes):
         hi[0, s] = idx.n
-        for b, c in enumerate(EXT_CODES):
-            # extmin[i] = LF(c, -1) = C[c]; extmax[i] = LF(c, n-1) - 1
-            # (EnumerateQuery.cpp:18-24) -> half-open [C[c], C[c]+count_c)
-            elo[0, s, b] = idx.C[c]
-            ehi[0, s, b] = idx.C[c + 1] if c + 1 < len(idx.C) else idx.n
-    return _Level(paths=[b""], lo=lo, hi=hi, elo=elo, ehi=ehi)
+    return _Level(paths=[b""], lo=lo, hi=hi, rlo=rlo)
 
 
-def _occ4(idx: FMIndex, pos: np.ndarray) -> np.ndarray:
-    """occ(c, pos) for all four extension codes at once: (4, Q) int64.
+def _occ_psum4(dcum: np.ndarray, pos: np.ndarray):
+    """From dense cumulative <=-counts: per-extension-symbol occ and the
+    lexicographic prefix sums at `pos` -> (occ4, psum4), each (Q, 4).
 
-    One dense-table gather per query (vs. the reference's one
-    HuffWT::rank pointer-chase per (c, i), HuffWT.h:66-83)."""
-    return idx.docc[pos].T.astype(np.int64)
+    occ(A) = cum2-cum1, occ(C) = cum3-cum2, occ(G) = cum4-cum3,
+    occ(T) = pos-cum5; psum(c) = #{codes < c} = cum1, cum2, cum3, cum5
+    (codes are in ASCII order: \\0 - A C G N T, index/alphabet.py)."""
+    cum = dcum[pos].astype(np.int64)  # (Q, 5) = cum(1..5)
+    occ4 = np.stack([cum[:, 1] - cum[:, 0], cum[:, 2] - cum[:, 1],
+                     cum[:, 3] - cum[:, 2], pos - cum[:, 4]], axis=1)
+    psum4 = np.stack([cum[:, 0], cum[:, 1], cum[:, 2], cum[:, 4]], axis=1)
+    return occ4, psum4
+
+
+def leftchar_np(idx: FMIndex, rlo: np.ndarray, freq: np.ndarray) -> np.ndarray:
+    """leftChar codes (EnumerateQuery.cpp:77-103) for one sample's nodes
+    from their reverse intervals [rlo, rlo+freq): the base b whose right-
+    extension count equals freq (all occurrences extend with b), else 'N'
+    if any base extends, else '0'."""
+    rocc_lo, _ = _occ_psum4(idx.rdcum, rlo)
+    rocc_hi, _ = _occ_psum4(idx.rdcum, rlo + freq)
+    rcnt = rocc_hi - rocc_lo  # (Q, 4)
+    is_full = (rcnt == freq[:, None]) & (freq[:, None] > 0)
+    return np.where(is_full.any(axis=1), is_full.argmax(axis=1) + 2,
+                    np.where((rcnt > 0).any(axis=1), LC_N, LC_ZERO))
 
 
 def _expand(indexes: list[FMIndex], level: _Level, fmin: int):
-    """Batched 4-way LF expansion of one frontier level.
+    """Batched 4-way LF expansion of one frontier level (bidirectional).
 
-    Returns per-child-symbol arrays shaped (4, U, S): clo, chi, cfreq,
-    cactive; and child ext intervals (4, U, S, 4).
+    Returns per-child-symbol arrays shaped (4, U, S): clo, chi, crlo,
+    cfreq, cactive; plus the CURRENT level's per-(node, sample) leftChar
+    codes (U, S) read from the reverse BWT.
     """
     U, S = level.lo.shape
     clo = np.zeros((4, U, S), dtype=np.int64)
     chi = np.zeros((4, U, S), dtype=np.int64)
-    celo = np.zeros((4, U, S, 4), dtype=np.int64)
-    cehi = np.zeros((4, U, S, 4), dtype=np.int64)
+    crlo = np.zeros((4, U, S), dtype=np.int64)
+    lc = np.zeros((U, S), dtype=np.int64)
 
     parent_active = level.hi > level.lo  # (U, S)
+    freq = level.hi - level.lo
     for s, idx in enumerate(indexes):
-        # all positions needing occ for this sample: (U, 10)
-        pos = np.concatenate(
-            [level.lo[:, s:s + 1], level.hi[:, s:s + 1],
-             level.elo[:, s, :], level.ehi[:, s, :]], axis=1,
-        )
-        occ4 = _occ4(idx, pos.ravel()).reshape(4, U, 10)
-        ext_nonempty = level.ehi[:, s, :] > level.elo[:, s, :]
+        occ_lo, psum_lo = _occ_psum4(idx.dcum, level.lo[:, s])
+        occ_hi, psum_hi = _occ_psum4(idx.dcum, level.hi[:, s])
+        act = parent_active[:, s]
         for ci, c in enumerate(EXT_CODES):
-            occ = occ4[ci]
             base = int(idx.C[c])
-            nlo, nhi = base + occ[:, 0], base + occ[:, 1]
-            nelo, nehi = base + occ[:, 2:6], base + occ[:, 6:10]
-            # Query::pushChar semantics: child interval only if parent
-            # active; the 4 ext intervals keep their stale values once
-            # empty (EnumerateQuery.cpp:44-55 pushes unchanged nmin/nmax)
-            clo[ci, :, s] = np.where(parent_active[:, s], nlo, 0)
-            chi[ci, :, s] = np.where(parent_active[:, s], nhi, 0)
-            celo[ci, :, s, :] = np.where(ext_nonempty, nelo, level.elo[:, s, :])
-            cehi[ci, :, s, :] = np.where(ext_nonempty, nehi, level.ehi[:, s, :])
+            clo[ci, :, s] = np.where(act, base + occ_lo[:, ci], 0)
+            chi[ci, :, s] = np.where(act, base + occ_hi[:, ci], 0)
+            crlo[ci, :, s] = np.where(
+                act, level.rlo[:, s] + psum_hi[:, ci] - psum_lo[:, ci], 0)
+        lc[:, s] = leftchar_np(idx, level.rlo[:, s], freq[:, s])
 
     cfreq = np.maximum(chi - clo, 0)
     cactive = parent_active[None, :, :] & (cfreq >= fmin)
-    return clo, chi, cfreq, cactive, celo, cehi
-
-
-def _leftchar_codes(level: _Level) -> np.ndarray:
-    """Per (node, sample) leftChar code (EnumerateQuery.cpp:77-103):
-    the code of base b if interval(P+b) == interval(P) (all occurrences
-    left-extend with b), else 'N' if any ext interval is nonempty, else '0'.
-    """
-    nonempty = level.ehi > level.elo  # (U, S, 4)
-    matches = nonempty & (level.elo == level.lo[:, :, None]) \
-        & (level.ehi == level.hi[:, :, None])
-    any_match = matches.any(axis=2)
-    any_nonempty = nonempty.any(axis=2)
-    match_code = matches.argmax(axis=2) + 2  # A,C,G,T -> 2..5
-    return np.where(any_match, match_code, np.where(any_nonempty, LC_N, LC_ZERO))
+    return clo, chi, crlo, cfreq, cactive, lc
 
 
 def node_entropy(freq: np.ndarray, d: int) -> np.ndarray:
@@ -299,9 +300,9 @@ def mine_from_level(
 
     while level.lo.shape[0]:
         U, S = level.lo.shape
+        clo, chi, crlo, cfreq, cactive, lc = _expand(indexes, level, cfg.fmin)
         at_maxdepth = depth >= cfg.maxdepth
         if not at_maxdepth:
-            clo, chi, cfreq, cactive, celo, cehi = _expand(indexes, level, cfg.fmin)
             union_child = cactive.any(axis=2)  # (4, U)
             if depth < len(prefix_codes):
                 # enforced path: only descend the prescribed child
@@ -325,7 +326,6 @@ def mine_from_level(
             single_full = (union_child.sum(axis=0) == 1) & (
                 child_counts[single_idx, np.arange(U)] == nactive
             )
-            lc = _leftchar_codes(level)  # (U, S)
             emit_level(out, cfg, d, depth, level.paths, freq, lc,
                        single_full, tracker)
 
@@ -347,6 +347,6 @@ def mine_from_level(
             paths=next_paths,
             lo=np.where(keep, clo[ci_idx, u_idx], 0),
             hi=np.where(keep, chi[ci_idx, u_idx], 0),
-            elo=celo[ci_idx, u_idx], ehi=cehi[ci_idx, u_idx],
+            rlo=np.where(keep, crlo[ci_idx, u_idx], 0),
         )
         depth += 1

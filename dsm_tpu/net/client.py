@@ -29,7 +29,7 @@ import numpy as np
 
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
-from ..mining.engine_np import _Level, _expand, _leftchar_codes, _seed_root
+from ..mining.engine_np import _Level, _expand, _seed_root, leftchar_np
 from .native import native_encode
 from .wire import CLOSE, OPEN, encode_events, encode_header
 
@@ -54,7 +54,7 @@ def enumerate_levels(index: FMIndex, fmin: int,
     while level.lo.shape[0]:
         if depth >= maxdepth:
             break
-        clo, chi, cfreq, cactive, celo, cehi = _expand([index], level, fmin)
+        clo, chi, crlo, cfreq, cactive, _lc = _expand([index], level, fmin)
         union_child = cactive.any(axis=2)  # (4, U)
         if depth < len(enforcepath):
             want = EXT_CHARS.index(enforcepath[depth])
@@ -69,13 +69,14 @@ def enumerate_levels(index: FMIndex, fmin: int,
             paths=[],  # paths not needed; DFS is reconstructed from parents
             lo=np.where(keep, clo[ci_idx, u_idx], 0),
             hi=np.where(keep, chi[ci_idx, u_idx], 0),
-            elo=celo[ci_idx, u_idx], ehi=cehi[ci_idx, u_idx],
+            rlo=np.where(keep, crlo[ci_idx, u_idx], 0),
         )
+        freq = (nxt.hi - nxt.lo)[:, 0]
         levels.append(dict(
             parent=u_idx.astype(np.int64),
             sym=ci_idx.astype(np.int8),
-            freq=(nxt.hi - nxt.lo)[:, 0].astype(np.int64),
-            lc=_leftchar_codes(nxt)[:, 0].astype(np.int8),
+            freq=freq.astype(np.int64),
+            lc=leftchar_np(index, nxt.rlo[:, 0], freq).astype(np.int8),
         ))
         level = nxt
         depth += 1

@@ -3,26 +3,36 @@
 The reference answers `occ(c, i)` with a Huffman-shaped wavelet tree over
 two-level rank bitvectors (HuffWT.h:66-83, BitRank.cpp:191-195) — a
 pointer-chase of 2-3 dependent bitvector ranks per query.  On TPU we replace
-that with a flat layout sized for the VPU:
+that with flat layouts sized for the VPU.
 
+Host/storage layout (`OccTable`):
   * `blocks`  (nblocks, BLOCK) int8   — BWT codes, PAD-padded tail
   * `occ`     (nblocks+1, SIGMA) int32 — per-symbol counts at block starts
-                                         (occ[b, c] = # of c in L[: b*BLOCK])
 
 so `occ(c, i) = occ[i // BLOCK, c] + popcount(blocks[i // BLOCK, : i % BLOCK] == c)`:
-one row gather + one 128-lane compare-and-sum, batched over an entire
-frontier of queries.  `LF(c, i) = C[c] + occ(c, i)` (FMIndex.h:84-90).
+one row gather + one 128-lane compare-and-sum.  `LF(c, i) = C[c] + occ(c, i)`
+(FMIndex.h:84-90).  `occ_prefix_np` is the NumPy oracle used by differential
+tests; `occ_batch` is the XLA form.
 
-`occ_prefix_np` is the NumPy oracle used by differential tests; `occ_batch`
-is the XLA implementation (used under jit).
+Device mining layout (`fused_rows` / `occ_cum`): one uint32 row per block
+fusing the sampled counts with THERMOMETER BITPLANES of the codes,
+
+    row[0:8]  = cum8[b]  — cum8[j] = #{i < b*BLOCK : code[i] <= j}
+    row[8:28] = planes j=1..5, 4 words each — bit k of word w is
+                (code[b*BLOCK + 32*w + k] <= j), LSB-first
+
+so ONE gather + 5 (AND + popcount over 4 words) yields the cumulative
+<=-counts cum(1..5, i), from which both the per-symbol occ of every
+extension base (A=cum2-cum1, C=cum3-cum2, G=cum4-cum3, T=i-cum5) and the
+lexicographic prefix sums needed for bidirectional (2BWT) interval
+synchronization fall out.  Measured ~8x faster than 128-lane
+compare-and-sum per query on v5e (the symbol codes are in ASCII order —
+index/alphabet.py — which is what makes <=-counts sufficient).
 
 A Pallas kernel was evaluated and measured SLOWER than XLA's gather on
 this toolchain (jax 0.9.0 Mosaic): `tpu.dynamic_gather` only shuffles
-within one vreg (8 sublanes / 128 lanes), so big-table vector gathers
-are inexpressible, and a scalar fori_loop kernel reaches ~4M queries/s
-vs ~50-90M/s for XLA's native gather (measured on v5e; rate is per ROW
-regardless of row bytes).  The engine therefore batches XLA gathers and
-minimizes gather COUNT instead (mining/engine_device.py).
+within one vreg, so big-table vector gathers are inexpressible.  XLA's
+native gather reaches ~450M rows/s from cache-resident tables.
 """
 
 from __future__ import annotations
@@ -84,6 +94,76 @@ def occ_prefix_np(table: OccTable, syms: np.ndarray, pos: np.ndarray) -> np.ndar
     lane = np.arange(BLOCK, dtype=np.int64)
     inblock = ((rows == syms[:, None]) & (lane[None, :] < r[:, None])).sum(axis=1)
     return base + inblock
+
+
+ROWW = 32          # fused uint32 row width: 8 cum + 5 planes x 4 words (+pad)
+_NPLANES = 5       # thermometer levels j = 1..5 (j=6 is the identity: pos)
+
+
+def fused_rows(table: OccTable) -> np.ndarray:
+    """Build the fused cum8+bitplane mining rows for one BWT.
+
+    -> (nblocks + 1, ROWW) uint32.  The final row carries the total cum8
+    so positions with i % BLOCK == 0 at i == nblocks*BLOCK resolve without
+    touching planes.  PAD codes (tail padding) satisfy no plane test.
+    """
+    nblocks = table.blocks.shape[0]
+    rows = np.zeros((nblocks + 1, ROWW), dtype=np.uint32)
+    codes = table.blocks  # (nblocks, BLOCK) int8, PAD-padded
+    # per-block per-symbol counts -> cumulative <=-counts at block starts
+    onehot = codes[:, :, None] == np.arange(SIGMA, dtype=np.int8)
+    per_block = onehot.sum(axis=1, dtype=np.int64)  # (nblocks, SIGMA)
+    if nblocks:
+        # padding is PAD (code 7); keep cum8[:, 7] text-only like occ
+        per_block[-1, PAD] -= int(nblocks * BLOCK - table.n)
+    cum = np.zeros((nblocks + 1, SIGMA), dtype=np.int64)
+    np.cumsum(np.cumsum(per_block, axis=1), axis=0, out=cum[1:])
+    rows[:, :SIGMA] = cum.astype(np.uint32)
+    # thermometer planes
+    weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+    for j in range(1, _NPLANES + 1):
+        bits = (codes <= j).reshape(nblocks, 4, 32)
+        words = (bits.astype(np.uint64) * weights).sum(axis=2)
+        rows[:nblocks, SIGMA + (j - 1) * 4: SIGMA + j * 4] = words.astype(np.uint32)
+    return rows
+
+
+def occ_cum(rows, blk, rem):
+    """Batched cumulative <=-counts from fused rows (jit-safe).
+
+    rows: (R, ROWW) uint32 fused table (possibly several BWTs stacked —
+    callers add per-BWT row offsets into `blk`); blk (...,) int32 row
+    index; rem (...,) int32 in [0, BLOCK).  Returns (..., 5) int32 =
+    cum(j, pos) for j = 1..5 where pos = blk*BLOCK + rem.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    g = jnp.take(rows, blk, axis=0)                      # (..., ROWW)
+    base = g[..., 1:6].astype(jnp.int32)                 # cum(1..5) at start
+    planes = g[..., 8:28].reshape(g.shape[:-1] + (_NPLANES, 4))
+    w = rem >> 5
+    bit = (rem & 31).astype(jnp.uint32)
+    widx = jnp.arange(4, dtype=jnp.int32)
+    full = jnp.where(widx < w[..., None], jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    part = jnp.where(widx == w[..., None],
+                     (jnp.uint32(1) << bit[..., None]) - jnp.uint32(1),
+                     jnp.uint32(0))
+    mask = (full | part)[..., None, :]                   # (..., 1, 4)
+    cnt = lax.population_count(planes & mask).sum(-1).astype(jnp.int32)
+    return base + cnt
+
+
+def occ_cum_np(table: OccTable, pos: np.ndarray) -> np.ndarray:
+    """NumPy oracle for occ_cum: (..., 5) int64 cumulative <=-counts of
+    codes 1..5 in L[: pos]."""
+    pos = np.asarray(pos, dtype=np.int64)
+    flat = table.blocks.reshape(-1)
+    out = np.empty(pos.shape + (5,), dtype=np.int64)
+    for j in range(1, 6):
+        le = np.concatenate([[0], np.cumsum(flat <= j)])
+        out[..., j - 1] = le[pos]
+    return out
 
 
 def occ_batch(blocks, occ, syms, pos):
