@@ -3,9 +3,12 @@
 The reference has no mining checkpoints — a failed run restarts from
 scratch (fail-stop everywhere, metaserver.cpp exit(1) paths).  Our
 device engine's episode exits are natural checkpoints: after a drain the
-output buffers are empty, so a complete snapshot is just
+output buffers are empty and the parent-pointer history has been pulled,
+so a complete snapshot is just
 
-  * the frontier (lo/hi/elo/ehi/paths, nvalid, depth),
+  * the frontier (lo/hi/rlo, nvalid, depth),
+  * the decoded paths of the live frontier rows (the history itself is
+    not persisted — paths re-seed a PathHistory base on resume),
   * the run counters (total_paths, entropy range),
   * the outputs accumulated on the host so far,
   * a fingerprint of (config, prefix, sample sizes) to refuse resuming
@@ -25,10 +28,13 @@ import pickle
 
 import numpy as np
 
+from ..index.alphabet import EXT_CHARS
 from .config import MiningConfig
 from .engine_np import MinedOutput
 
-FORMAT = 2
+FORMAT = 3
+_STATE_KEYS = ("lo", "hi", "rlo", "nvalid", "depth", "total_paths",
+               "ent_min", "ent_max")
 
 
 def _fingerprint(cfg: MiningConfig, prefix: bytes, ns) -> np.ndarray:
@@ -36,13 +42,34 @@ def _fingerprint(cfg: MiningConfig, prefix: bytes, ns) -> np.ndarray:
     return np.frombuffer(blob, dtype=np.uint8)
 
 
+def _pack_paths(paths: list[bytes], depth: int) -> np.ndarray:
+    """(rows, depth) uint8 matrix of extension-code digits."""
+    lut = np.zeros(256, dtype=np.uint8)
+    for i, b in enumerate(EXT_CHARS):
+        lut[b] = i
+    mat = np.zeros((len(paths), depth), dtype=np.uint8)
+    for i, p in enumerate(paths):
+        mat[i] = lut[np.frombuffer(p, dtype=np.uint8)]
+    return mat
+
+
+def _unpack_paths(mat: np.ndarray) -> list[bytes]:
+    ext = np.frombuffer(EXT_CHARS, dtype=np.uint8)
+    return [ext[row.astype(np.int64)].tobytes() for row in mat]
+
+
 def save_checkpoint(path: str, state: dict, out: MinedOutput,
-                    cfg: MiningConfig, prefix: bytes, ns) -> None:
+                    cfg: MiningConfig, prefix: bytes, ns,
+                    live_paths: list[bytes]) -> None:
     import jax
 
-    host = {k: np.asarray(v) for k, v in jax.device_get(state).items()
-            if k not in ("out_paths", "out_freq", "out_depth")}
-    assert int(host["ocount"]) == 0, "checkpoint requires drained outputs"
+    nvalid = int(state["nvalid"])
+    host = {k: np.asarray(v) for k, v in jax.device_get(
+        {k: state[k] for k in _STATE_KEYS}).items()}
+    assert int(state["ocount"]) == 0, "checkpoint requires drained outputs"
+    assert int(state["nlev"]) == 0, "checkpoint requires a pulled history"
+    for k in ("lo", "hi", "rlo"):
+        host[k] = host[k][:nvalid]
     buf = io.BytesIO()
     pickle.dump(out, buf, protocol=4)
     tmp = path + ".tmp"
@@ -50,12 +77,14 @@ def save_checkpoint(path: str, state: dict, out: MinedOutput,
         np.savez_compressed(
             f, __out=np.frombuffer(buf.getvalue(), dtype=np.uint8),
             __fp=_fingerprint(cfg, prefix, ns),
+            __paths=_pack_paths(live_paths, int(host["depth"])),
             **{f"st_{k}": v for k, v in host.items()})
     os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, cfg: MiningConfig, prefix: bytes, ns):
-    """-> (host_state dict, MinedOutput).  Raises on fingerprint drift."""
+    """-> (host_state dict, MinedOutput, live frontier paths).
+    Raises on fingerprint drift."""
     with np.load(path, allow_pickle=False) as z:
         fp = _fingerprint(cfg, prefix, ns)
         if not np.array_equal(z["__fp"], fp):
@@ -64,4 +93,5 @@ def load_checkpoint(path: str, cfg: MiningConfig, prefix: bytes, ns):
                 "config/prefix/input set")
         out = pickle.loads(z["__out"].tobytes())
         state = {k[3:]: z[k] for k in z.files if k.startswith("st_")}
-    return state, out
+        paths = _unpack_paths(z["__paths"])
+    return state, out, paths

@@ -5,27 +5,30 @@ streams x lazy server merge (EnumerateQuery.cpp:151-238,
 metaserver.cpp:269-486) with ONE level-synchronous breadth-first wavefront
 over all samples at once:
 
-  * All S per-sample FM-indexes live stacked on device:
-    blocks (S, NB, 128) int8 BWT codes + occ (S, NB+1, SIGMA) int32 sampled
-    counts.  A union-trie frontier is a dense table of per-(node, sample)
-    BWT intervals (CAP, S) plus the reference's four left-extension
-    intervals (CAP, S, 4) (EnumerateQuery.h:44-45).
-  * One jitted step expands a whole level: batched occ for 10 positions x 4
-    symbols per (node, sample) — the HuffWT::rank pointer-chase
-    (HuffWT.h:66-83) becomes one block-row gather + lane-masked compare-sum
-    on the VPU — then computes per-node leftChar codes
-    (EnumerateQuery.cpp:77-103), the right-branching child statistics
-    (metaserver.cpp:416-417), and compacts surviving children into the next
-    frontier with a stable sort (no host round-trip for the search state).
-  * The host loop only keeps path strings, float64 entropy/gates/output
-    (shared with the NumPy oracle: engine_np.emit_level), and frontier
-    capacity management (grow on overflow, shrink for narrow deep levels —
-    static shapes for XLA, power-of-two buckets to bound recompiles).
+  * All S per-sample BIDIRECTIONAL FM-indexes live stacked on device as
+    fused cum-count/bitplane rows (ops/rank.py): one uint32 row per
+    128-symbol block carries the sampled cumulative <=-counts and five
+    thermometer bitplanes, so a single gather + masked popcounts answers
+    every per-symbol occ and lexicographic prefix sum at once.
+  * A union-trie frontier is a dense table of per-(node, sample) forward
+    intervals (CAP, S) x2 plus the synchronized reverse-interval start
+    (CAP, S) — the 2BWT replacement for the reference's four tracked
+    left-extension intervals (EnumerateQuery.h:44-45); see
+    mining/engine_np.py for the equivalence argument.
+  * One jitted step expands a whole level with FOUR rank positions per
+    (node, sample) — lo/hi in the forward index for the 4-way children
+    (and, via prefix sums, the children's reverse starts), rlo/rlo+freq
+    in the reverse index for the leftChar codes
+    (EnumerateQuery.cpp:77-103) — then computes the right-branching child
+    statistics (metaserver.cpp:416-417) and compacts surviving children
+    into the next frontier with a stable sort.
 
 The expansion/analysis/compaction cores below are shared with the
-multi-device engine (parallel/engine_sharded.py), which shards the sample
-axis over a mesh and turns the child-statistic reductions into psums —
-the TPU-native equivalent of the reference's TCP trie-stream merge.
+device-resident episode engine (mining/engine_device.py — the default
+path, no per-level host round-trips) and the multi-device engine
+(parallel/engine_sharded.py), which shards the sample axis over a mesh
+and turns the child-statistic reductions into psums — the TPU-native
+equivalent of the reference's TCP trie-stream merge.
 
 Frequencies f >= fmin pruning happens per sample exactly as the client
 does (EnumerateQuery.cpp:186-190); activity propagates down paths because
@@ -41,9 +44,9 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..index.alphabet import EXT_CHARS, PAD, SIGMA
+from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
-from ..ops.rank import BLOCK, LOG2_BLOCK
+from ..ops.rank import BLOCK, LOG2_BLOCK, ROWW, fused_rows, occ_cum
 from .config import MiningConfig
 from .engine_np import LC_N, LC_ZERO, MinedOutput, emit_level
 
@@ -53,14 +56,20 @@ EXT4 = (2, 3, 4, 6)  # codes of A, C, G, T (alphabet.EXT_CODES as a tuple)
 
 @dataclass
 class DeviceIndexes:
-    """S per-sample occ tables stacked and padded onto one device."""
+    """S per-sample bidirectional occ tables stacked onto one device.
+
+    frows/rrows: (sum_s nb_s+1, ROWW) uint32 fused rows, forward/reverse;
+    soff: (S,) int32 per-sample row offsets (same for both directions);
+    C4/C4hi: (S, 4) int32 C[c] / C[c+1] for c in A,C,G,T.
+    """
 
     S: int
     ns: np.ndarray        # (S,) int64 text lengths
-    blocks: object        # jnp (S, NB, BLOCK) int8
-    occ: object           # jnp (S, NB+1, SIGMA) int32
-    C4: object            # jnp (S, 4) int32 — C[c] for c in A,C,G,T
-    C4hi: object          # jnp (S, 4) int32 — C[c+1] (interval ends)
+    frows: object
+    rrows: object
+    soff: object
+    C4: object
+    C4hi: object
 
     @classmethod
     def build(cls, indexes: list[FMIndex], pad_to: int | None = None
@@ -75,95 +84,92 @@ class DeviceIndexes:
         S = pad_to if pad_to is not None else S_real
         if S < S_real:
             raise ValueError("pad_to smaller than the number of samples")
-        nb_max = max(idx.table.blocks.shape[0] for idx in indexes)
-        blocks = np.full((S, nb_max, BLOCK), PAD, dtype=np.int8)
-        occ = np.zeros((S, nb_max + 1, SIGMA), dtype=np.int32)
+        fparts, rparts, offs = [], [], []
         C4 = np.zeros((S, 4), dtype=np.int32)
         C4hi = np.zeros((S, 4), dtype=np.int32)
         ns = np.zeros(S, dtype=np.int64)
+        off = 0
         for s, idx in enumerate(indexes):
-            nb = idx.table.blocks.shape[0]
-            blocks[s, :nb] = idx.table.blocks
-            occ[s, : nb + 1] = idx.table.occ
-            occ[s, nb + 1:] = idx.table.occ[-1]  # counts are flat past n
+            fr = fused_rows(idx.table)
+            rr = fused_rows(idx.rtable)
+            assert fr.shape == rr.shape
+            fparts.append(fr)
+            rparts.append(rr)
+            offs.append(off)
+            off += fr.shape[0]
             C4[s] = [idx.C[c] for c in EXT4]
             C4hi[s] = [idx.C[c + 1] for c in EXT4]
             ns[s] = idx.n
-        for s in range(S_real, S):  # dummy: text "\0" — occ/C4 all zero
-            blocks[s, 0, 0] = 0
+        dummy = np.zeros((1, ROWW), dtype=np.uint32)  # text "\0": cum rows 0
+        for s in range(S_real, S):
+            fparts.append(dummy)
+            rparts.append(dummy)
+            offs.append(off)
+            off += 1
             ns[s] = 1
-        return cls(S=S, ns=ns, blocks=jnp.asarray(blocks),
-                   occ=jnp.asarray(occ), C4=jnp.asarray(C4),
-                   C4hi=jnp.asarray(C4hi))
+        return cls(S=S, ns=ns,
+                   frows=jnp.asarray(np.concatenate(fparts)),
+                   rrows=jnp.asarray(np.concatenate(rparts)),
+                   soff=jnp.asarray(np.asarray(offs, dtype=np.int32)),
+                   C4=jnp.asarray(C4), C4hi=jnp.asarray(C4hi))
 
 
-def _occ4_sample(blocks_s, occ_s, pos_s):
-    """occ(c, p) for the four extension symbols, one sample.
+def _occ_psum4(cum5, pos):
+    """(occ4, psum4) at `pos` from cumulative <=-counts (ops/rank.py):
+    per-extension-symbol occ and #{codes < c} for c in A,C,G,T."""
+    import jax.numpy as jnp
 
-    blocks_s (NB, BLOCK) int8; occ_s (NB+1, SIGMA) int32; pos_s (Q,) int32
-    prefix lengths -> (Q, 4) int32.  One block-row gather per query plus a
-    lane-masked compare-sum per symbol (the Pallas variant lives in
-    ops/rank_pallas.py).
+    c1, c2, c3, c4, c5 = [cum5[..., j] for j in range(5)]
+    occ4 = jnp.stack([c2 - c1, c3 - c2, c4 - c3, pos - c5], axis=-1)
+    psum4 = jnp.stack([c1, c2, c3, c5], axis=-1)
+    return occ4, psum4
+
+
+def expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin):
+    """Shared per-shard expansion: 4-way LF of every (node, sample)'s
+    forward interval, the children's synchronized reverse starts (prefix
+    sums over the forward counts), and the node's own leftChar codes from
+    the reverse index.  Works on whatever sample shard the tables and
+    intervals hold (full set single-device; a mesh shard under shard_map).
+
+    lo/hi/rlo: (CAP, S) int32.  Returns a dict of local arrays:
+      clo, chi, crlo (CAP, S, 4); cactive (CAP, S, 4) bool; freq (CAP, S);
+      lc (CAP, S) int8; nactive (CAP,) int32; child_counts (CAP, 4) int32.
     """
     import jax.numpy as jnp
 
-    b = pos_s >> LOG2_BLOCK
-    r = pos_s & (BLOCK - 1)
-    rows = blocks_s[b]                               # (Q, BLOCK) gather
-    base = occ_s[b][:, jnp.array(EXT4, dtype=jnp.int32)]   # (Q, 4)
-    lane = jnp.arange(BLOCK, dtype=jnp.int32)
-    mask = lane[None, :] < r[:, None]
-    cnt = jnp.stack(
-        [jnp.sum((rows == np.int8(c)) & mask, axis=1, dtype=jnp.int32)
-         for c in EXT4], axis=1)
-    return base + cnt
+    soff_b = soff[None, :]
+    cum_lo = occ_cum(frows, (lo >> LOG2_BLOCK) + soff_b, lo & (BLOCK - 1))
+    cum_hi = occ_cum(frows, (hi >> LOG2_BLOCK) + soff_b, hi & (BLOCK - 1))
+    occ_lo, psum_lo = _occ_psum4(cum_lo, lo)
+    occ_hi, psum_hi = _occ_psum4(cum_hi, hi)
 
-
-def expand_core(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin):
-    """Shared per-shard expansion: 4-way LF of the main + 4 left-extension
-    intervals for every (node, sample), per-sample child activity, and the
-    per-node leftChar codes.  Works on whatever sample shard `blocks/occ/
-    C4/lo/...` hold (full set single-device; a mesh shard under shard_map).
-
-    Returns a dict of local arrays:
-      clo, chi (CAP, S, 4); celo, cehi (CAP, S, ext, sym); cactive
-      (CAP, S, 4) bool; freq (CAP, S); lc (CAP, S) int8;
-      nactive (CAP,) int32; child_counts (CAP, 4) int32.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    CAP, S = lo.shape
-    pos = jnp.concatenate([lo[:, :, None], hi[:, :, None], elo, ehi], axis=2)
-    # (CAP, S, 10) -> occ for 4 symbols: (CAP, S, 10, 4)
-    o = jax.vmap(
-        lambda bs, os_, ps: _occ4_sample(bs, os_, ps.reshape(-1)).reshape(CAP, 10, 4),
-        in_axes=(0, 0, 1), out_axes=1,
-    )(blocks, occ, pos)
-    child = C4[None, :, None, :] + o
-    clo, chi = child[:, :, 0, :], child[:, :, 1, :]        # (CAP, S, 4)
-    celo, cehi = child[:, :, 2:6, :], child[:, :, 6:10, :]  # (CAP, S, ext, sym)
-
-    parent_active = (hi > lo) & valid[:, None]
-    cfreq = jnp.maximum(chi - clo, 0)
-    cactive = parent_active[:, :, None] & (cfreq >= fmin)   # (CAP, S, 4)
-    # stale-keep empty ext intervals (EnumerateQuery.cpp:44-55)
-    ext_ne = ehi > elo                                      # (CAP, S, 4)
-    celo = jnp.where(ext_ne[:, :, :, None], celo, elo[:, :, :, None])
-    cehi = jnp.where(ext_ne[:, :, :, None], cehi, ehi[:, :, :, None])
+    parent_active = (hi > lo) & valid[:, None]               # (CAP, S)
+    pa3 = parent_active[:, :, None]
+    clo = jnp.where(pa3, C4[None] + occ_lo, 0)
+    chi = jnp.where(pa3, C4[None] + occ_hi, 0)
+    crlo = jnp.where(pa3, rlo[:, :, None] + psum_hi - psum_lo, 0)
+    cfreq = chi - clo
+    cactive = pa3 & (cfreq >= fmin)                          # (CAP, S, 4)
 
     freq = hi - lo
-    # leftChar codes (EnumerateQuery.cpp:77-103)
-    matches = ext_ne & (elo == lo[:, :, None]) & (ehi == hi[:, :, None])
+    # leftChar codes from right-extension counts in the reverse index
+    rhi = rlo + freq
+    rcum_lo = occ_cum(rrows, (rlo >> LOG2_BLOCK) + soff_b, rlo & (BLOCK - 1))
+    rcum_hi = occ_cum(rrows, (rhi >> LOG2_BLOCK) + soff_b, rhi & (BLOCK - 1))
+    rocc_lo, _ = _occ_psum4(rcum_lo, rlo)
+    rocc_hi, _ = _occ_psum4(rcum_hi, rhi)
+    rcnt = rocc_hi - rocc_lo                                 # (CAP, S, 4)
+    is_full = (rcnt == freq[:, :, None]) & (freq[:, :, None] > 0)
     lc = jnp.where(
-        matches.any(axis=2), jnp.argmax(matches, axis=2) + 2,
-        jnp.where(ext_ne.any(axis=2), LC_N, LC_ZERO),
+        is_full.any(axis=2), jnp.argmax(is_full, axis=2) + 2,
+        jnp.where((rcnt > 0).any(axis=2), LC_N, LC_ZERO),
     ).astype(jnp.int8)
 
     return dict(
-        clo=clo, chi=chi, celo=celo, cehi=cehi, cactive=cactive,
+        clo=clo, chi=chi, crlo=crlo, cactive=cactive,
         freq=freq, lc=lc,
-        nactive=(freq > 0).sum(axis=1, dtype=jnp.int32),
+        nactive=(parent_active & (freq > 0)).sum(axis=1, dtype=jnp.int32),
         child_counts=cactive.sum(axis=1, dtype=jnp.int32),
     )
 
@@ -203,21 +209,22 @@ def compact_children(union_child, core):
 
     clo_f = core["clo"].transpose(0, 2, 1).reshape(CAP * 4, S)
     chi_f = core["chi"].transpose(0, 2, 1).reshape(CAP * 4, S)
+    crlo_f = core["crlo"].transpose(0, 2, 1).reshape(CAP * 4, S)
     cact_f = core["cactive"].transpose(0, 2, 1).reshape(CAP * 4, S)
-    celo_f = core["celo"].transpose(0, 3, 1, 2).reshape(CAP * 4, S, 4)
-    cehi_f = core["cehi"].transpose(0, 3, 1, 2).reshape(CAP * 4, S, 4)
     keep = cact_f[sel] & valid_next[:, None]
     return dict(
         lo=jnp.where(keep, clo_f[sel], 0),
         hi=jnp.where(keep, chi_f[sel], 0),
-        elo=celo_f[sel], ehi=cehi_f[sel], valid=valid_next,
+        rlo=jnp.where(keep, crlo_f[sel], 0),
+        valid=valid_next,
         parent_row=parent_row, sym=sym, child_count=child_count,
     )
 
 
-def _level_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
+def _level_step_impl(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin,
+                     sym_mask):
     """Single-device step: expand + analyze + compact one frontier level."""
-    core = expand_core(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin)
+    core = expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin)
     union_child = (core["child_counts"] > 0) & sym_mask[None, :]   # (CAP, 4)
     single_full = analyze_children(union_child, core["child_counts"],
                                    core["nactive"])
@@ -244,29 +251,25 @@ def _seed_state(dev: DeviceIndexes, cap: int):
     lo = jnp.zeros((cap, S), dtype=jnp.int32)
     hi = jnp.zeros((cap, S), dtype=jnp.int32)
     hi = hi.at[0].set(jnp.asarray(dev.ns, dtype=jnp.int32))
-    elo = jnp.zeros((cap, S, 4), dtype=jnp.int32)
-    ehi = jnp.zeros((cap, S, 4), dtype=jnp.int32)
-    elo = elo.at[0].set(dev.C4)
-    ehi = ehi.at[0].set(dev.C4hi)
+    rlo = jnp.zeros((cap, S), dtype=jnp.int32)
     valid = jnp.zeros(cap, dtype=bool).at[0].set(True)
-    return lo, hi, elo, ehi, valid
+    return lo, hi, rlo, valid
 
 
 def _resize(state, cap: int):
     import jax.numpy as jnp
 
-    lo, hi, elo, ehi, valid = state
-    cur = lo.shape[0]
+    cur = state[0].shape[0]
     if cap == cur:
         return state
     if cap < cur:
         return tuple(a[:cap] for a in state)
     pad = cap - cur
+    lo, hi, rlo, valid = state
     return (
         jnp.pad(lo, ((0, pad), (0, 0))),
         jnp.pad(hi, ((0, pad), (0, 0))),
-        jnp.pad(elo, ((0, pad), (0, 0), (0, 0))),
-        jnp.pad(ehi, ((0, pad), (0, 0), (0, 0))),
+        jnp.pad(rlo, ((0, pad), (0, 0))),
         jnp.pad(valid, (0, pad)),
     )
 
@@ -335,7 +338,8 @@ def mine_tpu(
         else:
             sym_mask = masks["all"]
 
-        res = _level_step(dev.blocks, dev.occ, dev.C4, *state, fmin, sym_mask)
+        res = _level_step(dev.frows, dev.rrows, dev.soff, dev.C4, *state,
+                          fmin, sym_mask)
         child_count = int(res["child_count"])
         if child_count > state[0].shape[0]:
             # frontier overflow: grow capacity and redo this level
@@ -367,7 +371,7 @@ def mine_tpu(
             )
         paths = [paths[u] + EXT_CHARS[c:c + 1]
                  for u, c in zip(parent_row.tolist(), sym.tolist())]
-        state = (res["lo"], res["hi"], res["elo"], res["ehi"], res["valid"])
+        state = (res["lo"], res["hi"], res["rlo"], res["valid"])
         # shrink toward the live width to keep deep narrow levels cheap
         want = max(MIN_CAP, _next_pow2(child_count))
         if want < state[0].shape[0]:

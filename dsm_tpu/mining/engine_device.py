@@ -6,36 +6,45 @@ hundreds of levels deep.  Here the entire reference pipeline
 (EnumerateQuery DFS + metaserver merge/gates, metaserver.cpp:269-486)
 becomes ONE jitted `lax.while_loop` episode:
 
-  * frontier state (intervals, 4 left-extension intervals, path codes)
-    lives in HBM across levels; each level runs as a fori_loop over
-    CHUNK-row slices with a DYNAMIC trip count ceil(nvalid/CHUNK), so
-    compute scales with the live frontier width, not the capacity
-    bucket — capacity buckets can then be few and large (GROWTH=8),
-    minimizing episode recompiles;
-  * each chunk fuses expansion, the output gates, and stream compaction
-    of both the output rows and the next frontier (running offsets +
-    fixed-width updates whose garbage tails the next chunk overwrites);
-  * frontiers that turn narrow past TAIL_MIN_DEPTH exit to the host
-    wavefront (engine_np.mine_from_level) — the deep-thin-tail regime
-    where a host level costs less than a device step;
+  * frontier state — the bidirectional intervals (lo, hi, rlo), 3 int32
+    per (node, sample) — lives in HBM across levels; each level runs as a
+    fori_loop over CHUNK-row slices with a DYNAMIC trip count
+    ceil(nvalid/CHUNK), so compute scales with the live frontier width,
+    not the capacity bucket — capacity buckets can then be few and large
+    (GROWTH=8), minimizing episode recompiles;
+  * each chunk fuses expansion (4 fused-row ranks per node-sample,
+    ops/rank.py), the output gates, and stream compaction of both the
+    output rows and the next frontier (running offsets + fixed-width
+    updates whose garbage tails the next chunk overwrites);
+  * NO path strings are materialized on device: each child appends one
+    packed int32 (parent_row*4 + symbol) to a history buffer; the host
+    reconstructs the few paths it needs (gated outputs, tail handoff,
+    checkpoints) by walking the pulled history backwards (PathHistory) —
+    this removes the former (CAP, 256)-byte path buffer whose per-level
+    traffic rivaled the expansion itself;
   * every output gate the server applies (metaserver.cpp:403-419) is
     evaluated on device — depth window, pmin/pmax band, entropy window,
     right-branching, left-branching — and passing rows are compacted
-    into a device-resident output buffer;
+    into a device-resident output buffer as (level-row, depth, freqs);
   * the entropy window is gated in float32 with a safety margin; the
     host re-checks drained candidates in float64 with the reference's
     exact expression shapes (engine_np.node_entropy), so emitted lines
     are bit-identical to the oracle while the device never touches f64;
   * the episode exits only to report: frontier-capacity overflow (host
     grows the pow2 bucket and the level is redone — no emission happens
-    on the overflow branch, so no duplicates), path-width overflow,
+    on the overflow branch, so no duplicates), history-buffer pressure
+    (host pulls the finished levels, resets, and the level is redone),
     output-buffer pressure (host drains, resumes), frontier shrink
     (host re-buckets down so deep narrow tails stop paying full-width
-    compute), or completion.
+    compute), or completion;
+  * frontiers that turn narrow past TAIL_MIN_DEPTH exit to the host
+    wavefront (engine_np.mine_from_level) — the deep-thin-tail regime
+    where a host level costs less than a device step.
 
-Host work per episode is O(drained outputs), not O(trie).  Semantics are
-those of engine_np.mine_np in 'ascending' reader order; byte-exact
-gnu-order runs use the per-level engine (mine_tpu(reader_order='gnu')).
+Host work per episode is O(drained outputs + history ints), not O(trie
+bytes).  Semantics are those of engine_np.mine_np in 'ascending' reader
+order; byte-exact gnu-order runs use the per-level engine
+(mine_tpu(reader_order='gnu')).
 
 Entropy min/max *statistics* (stderr diagnostics in the reference,
 metaserver.cpp:390-394,805-813) are tracked in float32 here; the output
@@ -47,6 +56,7 @@ from __future__ import annotations
 import functools
 import os
 import sys
+import threading
 import time
 from dataclasses import dataclass
 
@@ -58,19 +68,20 @@ from .config import MiningConfig
 from .engine import DeviceIndexes, expand_core
 from .engine_np import LOG2, MinedOutput, node_entropy
 
-CHUNK = 4096          # per-chunk rows: bounds the occ-gather intermediates
+CHUNK = 4096          # per-chunk rows: bounds the rank-gather intermediates
 #                       and is the work granularity (compute scales with
 #                       ceil(nvalid/CHUNK), not with the capacity bucket)
 DEV_MIN_CAP = CHUNK   # frontier buffers must hold >= one chunk
-MIN_PATHCAP = 256
-GROWTH = 8            # capacity bucket growth factor: every distinct
-#                       (cap, pathcap) bucket compiles its own episode
-#                       program, and on a tunneled chip each compile costs
-#                       tens of seconds; chunked processing makes a big
-#                       bucket nearly free, so keep buckets few
+GROWTH = 8            # capacity bucket growth factor: every distinct cap
+#                       bucket compiles its own episode program; chunked
+#                       processing makes a big bucket nearly free, so keep
+#                       buckets few (the next bucket is precompiled in a
+#                       background thread while the current one mines)
 OUT_RESERVE = 1 << 15  # drained-output buffer target size
+HIST_CAP = 1 << 22     # packed parent*4+sym history entries per segment
+LVL_CAP = 1 << 13      # per-segment level-length slots
 ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
-(FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_GROWPATH, FLAG_SHRINK,
+(FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_HISTFULL, FLAG_SHRINK,
  FLAG_TAIL) = range(7)
 
 # Hand the frontier to the host numpy wavefront once it is this narrow
@@ -88,6 +99,44 @@ def _bucket(x: int) -> int:
     while cap < x:
         cap *= GROWTH
     return cap
+
+
+class PathHistory:
+    """Host-side decoder for the device's packed parent-pointer history.
+
+    Level d's entries (one int32 per node: parent_row*4 + sym, in frontier
+    row order) are written while level d-1 expands; segments pulled at
+    episode exits accumulate here keyed by absolute depth.  base_paths
+    seeds rows at base_depth (checkpoint resume)."""
+
+    def __init__(self, base_depth: int = 0,
+                 base_paths: list[bytes] | None = None) -> None:
+        self.base_depth = base_depth
+        self.base = base_paths if base_paths is not None else [b""]
+        self.levels: dict[int, np.ndarray] = {}
+
+    def add_segment(self, d0: int, packed: np.ndarray,
+                    lens: np.ndarray) -> None:
+        """Levels d0+1 .. d0+len(lens) from one pulled device segment."""
+        off = 0
+        for k, ln in enumerate(np.asarray(lens, dtype=np.int64).tolist()):
+            self.levels[d0 + k + 1] = packed[off:off + ln]
+            off += ln
+
+    def decode(self, depth: int, rows: np.ndarray) -> list[bytes]:
+        """Paths of frontier `rows` at `depth` (vectorized walk down)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        m = rows.shape[0]
+        k = depth - self.base_depth
+        syms = np.zeros((m, k), dtype=np.int64)
+        r = rows.copy()
+        for d in range(depth, self.base_depth, -1):
+            e = self.levels[d][r]
+            syms[:, d - self.base_depth - 1] = e & 3
+            r = e >> 2
+        ext = np.frombuffer(EXT_CHARS, dtype=np.uint8)
+        return [self.base[int(r[i])] + ext[syms[i]].tobytes()
+                for i in range(m)]
 
 
 @dataclass
@@ -127,29 +176,31 @@ class _Scalars:
                 self.tail_width, self.out_reserve)
 
 
-def _seed_episode(dev: DeviceIndexes, cap: int, pathcap: int):
+def _seed_episode(dev: DeviceIndexes, cap: int):
     import jax.numpy as jnp
 
     S = dev.S
-    state = dict(
+    ocap = OUT_RESERVE + cap + CHUNK
+    return dict(
         lo=jnp.zeros((cap, S), jnp.int32),
         hi=jnp.zeros((cap, S), jnp.int32).at[0].set(
             jnp.asarray(dev.ns, jnp.int32)),
-        elo=jnp.zeros((cap, S, 4), jnp.int32).at[0].set(dev.C4),
-        ehi=jnp.zeros((cap, S, 4), jnp.int32).at[0].set(dev.C4hi),
-        paths=jnp.zeros((cap, pathcap), jnp.int8),
+        rlo=jnp.zeros((cap, S), jnp.int32),
         nvalid=jnp.asarray(1, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
+        hist=jnp.zeros(HIST_CAP + 4 * CHUNK, jnp.int32),
+        hist_len=jnp.asarray(0, jnp.int32),
+        lvl_len=jnp.zeros(LVL_CAP, jnp.int32),
+        nlev=jnp.asarray(0, jnp.int32),
+        out_freq=jnp.zeros((ocap, S), jnp.int32),
+        out_row=jnp.zeros(ocap, jnp.int32),
+        out_depth=jnp.zeros(ocap, jnp.int32),
         ocount=jnp.asarray(0, jnp.int32),
-        out_paths=jnp.zeros((OUT_RESERVE + cap + CHUNK, pathcap), jnp.int8),
-        out_freq=jnp.zeros((OUT_RESERVE + cap + CHUNK, S), jnp.int32),
-        out_depth=jnp.zeros(OUT_RESERVE + cap + CHUNK, jnp.int32),
         total_paths=jnp.asarray(0, jnp.int32),
         ent_min=jnp.asarray(np.inf, jnp.float32),
         ent_max=jnp.asarray(-np.inf, jnp.float32),
         flag=jnp.asarray(FLAG_RUN, jnp.int32),
     )
-    return state
 
 
 def _entropy_f32(freq, nactive, d):
@@ -163,20 +214,19 @@ def _entropy_f32(freq, nactive, d):
     return jnp.log(sumN) / np.float32(LOG2) - sumNlogN / sumN
 
 
-def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
-                  state):
+def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
+                  prefix_codes, state):
     """One trie level, processed in CHUNK-row slices with a DYNAMIC trip
     count: compute scales with the live frontier width (state["nvalid"]),
     not the capacity bucket, so buckets can be few and large without a
     padding tax.  Each chunk fuses expansion, the output gates, and
-    stream compaction of both outputs and the next frontier (running
+    stream compaction of outputs, history, and the next frontier (running
     offsets + fixed-width dynamic_update_slice whose garbage tail is
     overwritten by the next chunk's write)."""
     import jax.numpy as jnp
     from jax import lax
 
     cap, S = state["lo"].shape
-    pathcap = state["paths"].shape[1]
     depth = state["depth"]
     nvalid = state["nvalid"]
     nchunks = (nvalid + CHUNK - 1) // CHUNK
@@ -190,30 +240,25 @@ def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
         sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
-    # next-frontier + output buffers have CHUNK*4 / CHUNK slack rows so a
-    # full chunk write at the running offset never clips
+    # next-frontier buffers have 4*CHUNK slack rows so a full chunk write
+    # at the running offset never clips
     nxt = dict(
         lo=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
         hi=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
-        elo=jnp.zeros((cap + 4 * CHUNK, S, 4), jnp.int32),
-        ehi=jnp.zeros((cap + 4 * CHUNK, S, 4), jnp.int32),
-        paths=jnp.zeros((cap + 4 * CHUNK, pathcap), jnp.int8),
-        keep=jnp.zeros((cap + 4 * CHUNK, S), bool),
+        rlo=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
     )
 
     def chunk_step(i, carry):
-        nxt, out_paths, out_freq, out_depth, child_off, oc, tp, emn, emx = carry
+        (nxt, hist, out_freq, out_row, out_depth, child_off, oc, tp,
+         emn, emx) = carry
         base = i * CHUNK
         lo_c = lax.dynamic_slice_in_dim(state["lo"], base, CHUNK)
         hi_c = lax.dynamic_slice_in_dim(state["hi"], base, CHUNK)
-        elo_c = lax.dynamic_slice_in_dim(state["elo"], base, CHUNK)
-        ehi_c = lax.dynamic_slice_in_dim(state["ehi"], base, CHUNK)
+        rlo_c = lax.dynamic_slice_in_dim(state["rlo"], base, CHUNK)
         valid_c = (base + jnp.arange(CHUNK, dtype=jnp.int32)) < nvalid
-        paths_c = lax.dynamic_slice(state["paths"], (base, 0),
-                                    (CHUNK, pathcap))
 
-        core = expand_core(dev_blocks, dev_occ, dev_C4, lo_c, hi_c,
-                           elo_c, ehi_c, valid_c, sc.fmin)
+        core = expand_core(dev_frows, dev_rrows, dev_soff, dev_C4,
+                           lo_c, hi_c, rlo_c, valid_c, sc.fmin)
         union_child = (core["child_counts"] > 0) & sym_mask[None, :] \
             & valid_c[:, None]
         nactive = core["nactive"]
@@ -243,9 +288,9 @@ def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
 
         operm = jnp.argsort(jnp.logical_not(output), stable=True)
         k_out = output.sum(dtype=jnp.int32)
-        out_paths = lax.dynamic_update_slice(out_paths, paths_c[operm],
-                                             (oc, 0))
         out_freq = lax.dynamic_update_slice(out_freq, freq[operm], (oc, 0))
+        out_row = lax.dynamic_update_slice(
+            out_row, (base + jnp.arange(CHUNK, dtype=jnp.int32))[operm], (oc,))
         out_depth = lax.dynamic_update_slice(
             out_depth, jnp.full(CHUNK, depth, jnp.int32), (oc,))
         oc = oc + k_out
@@ -264,52 +309,43 @@ def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
 
         clo_f = core["clo"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
         chi_f = core["chi"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
+        crlo_f = core["crlo"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
         cact_f = core["cactive"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
-        celo_f = core["celo"].transpose(0, 3, 1, 2).reshape(CHUNK * 4, S, 4)
-        cehi_f = core["cehi"].transpose(0, 3, 1, 2).reshape(CHUNK * 4, S, 4)
-
-        paths_next = paths_c[parent_loc]
-        col = jnp.arange(pathcap, dtype=jnp.int32)[None, :]
-        paths_next = jnp.where(col == depth, sym[:, None].astype(jnp.int8),
-                               paths_next)
-
+        keep = cact_f[cperm]
         woff = jnp.minimum(child_off, cap)  # clip on overflow (redone)
         nxt = dict(
-            lo=lax.dynamic_update_slice(nxt["lo"], clo_f[cperm], (woff, 0)),
-            hi=lax.dynamic_update_slice(nxt["hi"], chi_f[cperm], (woff, 0)),
-            elo=lax.dynamic_update_slice(nxt["elo"], celo_f[cperm],
-                                         (woff, 0, 0)),
-            ehi=lax.dynamic_update_slice(nxt["ehi"], cehi_f[cperm],
-                                         (woff, 0, 0)),
-            paths=lax.dynamic_update_slice(nxt["paths"], paths_next,
-                                           (woff, 0)),
-            keep=lax.dynamic_update_slice(nxt["keep"], cact_f[cperm],
-                                          (woff, 0)),
+            lo=lax.dynamic_update_slice(
+                nxt["lo"], jnp.where(keep, clo_f[cperm], 0), (woff, 0)),
+            hi=lax.dynamic_update_slice(
+                nxt["hi"], jnp.where(keep, chi_f[cperm], 0), (woff, 0)),
+            rlo=lax.dynamic_update_slice(
+                nxt["rlo"], jnp.where(keep, crlo_f[cperm], 0), (woff, 0)),
         )
-        return (nxt, out_paths, out_freq, out_depth, child_off + k_c, oc,
-                tp, emn, emx)
+        hoff = jnp.minimum(state["hist_len"] + child_off, HIST_CAP)
+        hist = lax.dynamic_update_slice(
+            hist, (base + parent_loc) * 4 + sym, (hoff,))
+        return (nxt, hist, out_freq, out_row, out_depth, child_off + k_c,
+                oc, tp, emn, emx)
 
-    carry = (nxt, state["out_paths"], state["out_freq"], state["out_depth"],
-             jnp.asarray(0, jnp.int32), state["ocount"],
+    carry = (nxt, state["hist"], state["out_freq"], state["out_row"],
+             state["out_depth"], jnp.asarray(0, jnp.int32), state["ocount"],
              state["total_paths"], state["ent_min"], state["ent_max"])
-    (nxt, out_paths, out_freq, out_depth, child_count, oc, total_paths,
+    (nxt, hist, out_freq, out_row, out_depth, child_count, oc, total_paths,
      ent_min, ent_max) = lax.fori_loop(0, nchunks, chunk_step, carry)
 
     grow = child_count > cap
-    grow_path = (depth + 1 >= pathcap) & (child_count > 0)
+    histfull = (state["hist_len"] + child_count > HIST_CAP) \
+        | (state["nlev"] + 1 >= LVL_CAP)
 
     def redo(_):
         out = dict(state)
-        out["flag"] = jnp.where(grow, FLAG_GROW, FLAG_GROWPATH
+        out["flag"] = jnp.where(grow, FLAG_GROW, FLAG_HISTFULL
                                 ).astype(jnp.int32)
         return out
 
     def advance(_):
         rowi = jnp.arange(cap, dtype=jnp.int32)
-        valid_next = rowi < child_count
-        keep = nxt["keep"][:cap] & valid_next[:, None]
-        # shrink only when the target bucket is strictly smaller:
-        # child_count <= cap/(2*GROWTH) rounds up to at most cap/GROWTH
+        live = (rowi < child_count)[:, None]
         flag = jnp.where(
             child_count == 0, FLAG_DONE,
             jnp.where((child_count <= sc.tail_width)
@@ -320,37 +356,68 @@ def _episode_body(dev_blocks, dev_occ, dev_C4, sc: _Scalars, prefix_codes,
                                           FLAG_SHRINK, FLAG_RUN)))
         ).astype(jnp.int32)
         return dict(
-            lo=jnp.where(keep, nxt["lo"][:cap], 0),
-            hi=jnp.where(keep, nxt["hi"][:cap], 0),
-            elo=nxt["elo"][:cap], ehi=nxt["ehi"][:cap],
-            paths=nxt["paths"][:cap], nvalid=child_count, depth=depth + 1,
-            ocount=oc, out_paths=out_paths, out_freq=out_freq,
-            out_depth=out_depth, total_paths=total_paths,
+            lo=jnp.where(live, nxt["lo"][:cap], 0),
+            hi=jnp.where(live, nxt["hi"][:cap], 0),
+            rlo=jnp.where(live, nxt["rlo"][:cap], 0),
+            nvalid=child_count, depth=depth + 1,
+            hist=hist, hist_len=state["hist_len"] + child_count,
+            lvl_len=lax.dynamic_update_slice(
+                state["lvl_len"], child_count[None], (state["nlev"],)),
+            nlev=state["nlev"] + 1,
+            out_freq=out_freq, out_row=out_row, out_depth=out_depth,
+            ocount=oc, total_paths=total_paths,
             ent_min=ent_min, ent_max=ent_max, flag=flag,
         )
 
-    return lax.cond(grow | grow_path, redo, advance, None)
+    return lax.cond(grow | histfull, redo, advance, None)
 
 
 @functools.cache
-def _jitted_episode(cap: int, pathcap: int, prefix_codes: tuple):
+def _jitted_episode(cap: int, S: int, prefix_codes: tuple):
     import jax
 
-    def run(blocks, occ, C4, state, *flat_scalars):
+    def run(frows, rrows, soff, C4, state, *flat_scalars):
         sc = _Scalars(*flat_scalars)
 
         def cond(st):
             return st["flag"] == FLAG_RUN
 
         def body(st):
-            return _episode_body(blocks, occ, C4, sc, prefix_codes, st)
+            return _episode_body(frows, rrows, soff, C4, sc, prefix_codes, st)
 
         return jax.lax.while_loop(cond, body, state)
 
-    return jax.jit(run, donate_argnums=(3,))
+    return jax.jit(run, donate_argnums=(4,))
 
 
-def _resize_state(state, cap: int, pathcap: int):
+def _precompile_next(dev: DeviceIndexes, cap: int, prefix_codes: tuple,
+                     sc: _Scalars) -> threading.Thread | None:
+    """Compile the next capacity bucket's episode in a background thread
+    while the current bucket mines, so a FLAG_GROW transition costs a
+    (persistent-) cache hit instead of a full XLA compile."""
+    if os.environ.get("DSM_PRECOMPILE", "1") != "1":
+        return None
+    import jax
+
+    def shaped(x):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+    def work():
+        try:
+            state = jax.eval_shape(lambda: _seed_episode(dev, cap))
+            fn = _jitted_episode(cap, dev.S, prefix_codes)
+            fn.lower(shaped(dev.frows), shaped(dev.rrows), shaped(dev.soff),
+                     shaped(dev.C4), state,
+                     *[shaped(s) for s in sc.flat()]).compile()
+        except Exception:  # pragma: no cover - best-effort warmup
+            pass
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
+
+
+def _resize_state(state, cap: int):
     """Host-side pow2 re-bucketing of the frontier + output buffers."""
     import jax.numpy as jnp
 
@@ -362,45 +429,63 @@ def _resize_state(state, cap: int, pathcap: int):
             return a[:rows]
         return jnp.pad(a, ((0, rows - cur),) + ((0, 0),) * (a.ndim - 1))
 
-    def pad_cols(a, cols):
-        cur = a.shape[1]
-        if cols == cur:
-            return a
-        if cols < cur:
-            raise AssertionError("path width never shrinks")
-        return jnp.pad(a, ((0, 0), (0, cols - cur)))
-
     out = dict(state)
-    for k in ("lo", "hi", "elo", "ehi"):
+    for k in ("lo", "hi", "rlo"):
         out[k] = pad_rows(state[k], cap)
-    out["paths"] = pad_cols(pad_rows(state["paths"], cap), pathcap)
-    for k in ("out_paths", "out_freq", "out_depth"):
-        out[k] = pad_rows(state[k], OUT_RESERVE + cap + CHUNK)
-    out["out_paths"] = pad_cols(out["out_paths"], pathcap)
+    ocap = OUT_RESERVE + cap + CHUNK
+    for k in ("out_freq", "out_row", "out_depth"):
+        out[k] = pad_rows(state[k], ocap)
     return out
 
 
-def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state) -> None:
-    """Pull output candidates, re-gate the entropy window in exact f64,
-    and append formatted lines (ascending reader order)."""
+def _pull_segment(ph: PathHistory, seg_depth0: int, state) -> None:
+    """Pull the device's finished-level history into the host decoder and
+    reset the device-side segment."""
     import jax
+    import jax.numpy as jnp
+
+    n = int(state["hist_len"])
+    k = int(state["nlev"])
+    if k:
+        packed, lens = jax.device_get(
+            (state["hist"][:n], state["lvl_len"][:k]))
+        ph.add_segment(seg_depth0, packed, lens)
+    state["hist_len"] = jnp.asarray(0, jnp.int32)
+    state["nlev"] = jnp.asarray(0, jnp.int32)
+
+
+def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
+           ph: PathHistory) -> None:
+    """Pull output candidates, re-gate the entropy window in exact f64,
+    and append formatted lines (ascending reader order).  The history
+    covering every drained row must already be in `ph`."""
+    import jax
+    import jax.numpy as jnp
 
     n = int(state["ocount"])
     if n == 0:
         return
-    paths, freq, depths = jax.device_get(
-        (state["out_paths"][:n], state["out_freq"][:n],
-         state["out_depth"][:n]))
+    freq, rows, depths = jax.device_get(
+        (state["out_freq"][:n], state["out_row"][:n], state["out_depth"][:n]))
+    state["ocount"] = jnp.asarray(0, jnp.int32)
     ent = node_entropy(freq.astype(np.int64), d)
     if cfg.emax > 0:
         ok = (ent >= cfg.emin) & (ent <= cfg.emax)
     else:
         ok = np.ones(n, dtype=bool)
     active = freq > 0
-    ext = np.frombuffer(EXT_CHARS, dtype=np.uint8)
-    for i in np.flatnonzero(ok):
+    keep = np.flatnonzero(ok)
+    # decode paths grouped by depth (vectorized walk per group)
+    paths: dict[int, list[bytes]] = {}
+    order: dict[int, int] = {}
+    for dep in np.unique(depths[keep]):
+        grp = keep[depths[keep] == dep]
+        paths[int(dep)] = ph.decode(int(dep), rows[grp])
+        order[int(dep)] = 0
+    for i in keep:
         dep = int(depths[i])
-        path = ext[paths[i, :dep].astype(np.int64)].tobytes()
+        path = paths[dep][order[dep]]
+        order[dep] += 1
         act = np.flatnonzero(active[i])
         out.total_output += 1
         out.freq_histogram[act.size - 1] += 1
@@ -409,7 +494,8 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state) -> None:
         out.lines.append((path, float(ent[i]), occs))
 
 
-def _handoff_tail(indexes, cfg, prefix, out, state, debug=False) -> None:
+def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
+                  debug=False) -> None:
     """FLAG_TAIL: pull the (narrow) frontier and finish on the host
     (engine_np.mine_from_level) — thousands of thin deep levels cost
     microseconds each there vs a full device step each here."""
@@ -419,21 +505,17 @@ def _handoff_tail(indexes, cfg, prefix, out, state, debug=False) -> None:
 
     n = int(state["nvalid"])
     depth = int(state["depth"])
-    lo, hi, elo, ehi, pcodes = jax.device_get(
-        (state["lo"][:n], state["hi"][:n], state["elo"][:n],
-         state["ehi"][:n], state["paths"][:n, :depth]))
-    ext = np.frombuffer(EXT_CHARS, dtype=np.uint8)
-    paths = [ext[row.astype(np.int64)].tobytes() for row in pcodes]
+    lo, hi, rlo = jax.device_get(
+        (state["lo"][:n], state["hi"][:n], state["rlo"][:n]))
+    paths = ph.decode(depth, np.arange(n))
     level = _Level(paths=paths, lo=lo.astype(np.int64),
-                   hi=hi.astype(np.int64), elo=elo.astype(np.int64),
-                   ehi=ehi.astype(np.int64))
+                   hi=hi.astype(np.int64), rlo=rlo.astype(np.int64))
     if debug:
-        import time as _t
-        t0 = _t.perf_counter()
+        t0 = time.perf_counter()
     mine_from_level(indexes, cfg, level, depth, out, prefix=prefix)
     if debug:
         print(f"mine_device: host tail from depth {depth} width {n} "
-              f"took {_t.perf_counter() - t0:.2f}s",
+              f"took {time.perf_counter() - t0:.2f}s",
               file=sys.stderr, flush=True)
 
 
@@ -471,20 +553,19 @@ def mine_device(
     t0 = time.perf_counter()
 
     cap = _bucket(cap)
-    pathcap = MIN_PATHCAP
-    state = _seed_episode(dev, cap, pathcap)
+    state = _seed_episode(dev, cap)
+    ph = PathHistory()
+    seg_depth0 = 0
     if checkpoint is not None and os.path.exists(checkpoint):
         from .checkpoint import load_checkpoint
 
-        host_state, out = load_checkpoint(checkpoint, cfg, prefix, dev.ns)
+        host_state, out, base_paths = load_checkpoint(checkpoint, cfg,
+                                                      prefix, dev.ns)
         cap = _bucket(max(int(host_state["nvalid"]), DEV_MIN_CAP))
-        pathcap = max(MIN_PATHCAP, host_state["paths"].shape[1])
-        fresh = _seed_episode(dev, cap, pathcap)
+        fresh = _seed_episode(dev, cap)
         for k, v in host_state.items():
-            if k in ("out_paths", "out_freq", "out_depth"):
-                continue
             arr = jnp.asarray(v)
-            if arr.ndim and k in ("lo", "hi", "elo", "ehi", "paths"):
+            if arr.ndim and k in ("lo", "hi", "rlo"):
                 tgt = fresh[k]
                 arr = arr[tuple(slice(0, t) for t in tgt.shape)]
                 pads = [(0, t - s) for t, s in zip(tgt.shape, arr.shape)]
@@ -492,31 +573,46 @@ def mine_device(
             fresh[k] = arr
         state = fresh
         state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
+        seg_depth0 = int(state["depth"])
+        ph = PathHistory(base_depth=seg_depth0, base_paths=base_paths)
         if debug:
-            print(f"mine_device: resumed depth={int(state['depth'])} "
+            print(f"mine_device: resumed depth={seg_depth0} "
                   f"nvalid={int(state['nvalid'])}", file=sys.stderr)
 
     def _save() -> None:
         if checkpoint is not None:
             from .checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint, state, out, cfg, prefix, dev.ns)
+            n = int(state["nvalid"])
+            live_paths = ph.decode(int(state["depth"]), np.arange(n))
+            save_checkpoint(checkpoint, state, out, cfg, prefix, dev.ns,
+                            live_paths)
 
+    _precompile_next(dev, cap * GROWTH, prefix_codes, sc)
     while True:
-        fn = _jitted_episode(cap, pathcap, prefix_codes)
-        state = fn(dev.blocks, dev.occ, dev.C4, state, *sc.flat())
+        fn = _jitted_episode(cap, dev.S, prefix_codes)
+        state = fn(dev.frows, dev.rrows, dev.soff, dev.C4, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
-            print(f"mine_device: flag={flag} cap={cap} pathcap={pathcap} "
+            print(f"mine_device: flag={flag} cap={cap} "
                   f"depth={int(state['depth'])} nvalid={int(state['nvalid'])}"
                   f" ocount={int(state['ocount'])} "
                   f"t={time.perf_counter() - t0:.1f}s",
                   file=sys.stderr, flush=True)
+        if flag == FLAG_GROW:
+            cap *= GROWTH
+            state = _resize_state(state, cap)
+            _precompile_next(dev, cap * GROWTH, prefix_codes, sc)
+            state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
+            continue
+        # every other exit pulls the finished levels (outputs reference them)
+        _pull_segment(ph, seg_depth0, state)
+        seg_depth0 = int(state["depth"])
         if flag == FLAG_DONE:
-            _drain(out, cfg, d, state)
+            _drain(out, cfg, d, state, ph)
             break
         if flag == FLAG_TAIL:
-            _drain(out, cfg, d, state)
+            _drain(out, cfg, d, state, ph)
             # fold device-side stats in BEFORE the host tail refines them
             out.total_paths += int(state["total_paths"])
             em, eM = float(state["ent_min"]), float(state["ent_max"])
@@ -524,27 +620,19 @@ def mine_device(
                 out.smallest_entropy = min(out.smallest_entropy, em)
             if np.isfinite(eM):
                 out.largest_entropy = max(out.largest_entropy, eM)
-            _handoff_tail(indexes, cfg, prefix, out, state, debug=debug)
+            _handoff_tail(indexes, cfg, prefix, out, state, ph, debug=debug)
             if checkpoint is not None and os.path.exists(checkpoint):
                 os.unlink(checkpoint)
             out.sort_postorder()
             return out
-        if flag == FLAG_DRAIN:
-            _drain(out, cfg, d, state)
-            state["ocount"] = jnp.asarray(0, jnp.int32)
+        if flag in (FLAG_DRAIN, FLAG_HISTFULL):
+            _drain(out, cfg, d, state, ph)
             _save()
-        elif flag == FLAG_GROW:
-            cap *= GROWTH
-            state = _resize_state(state, cap, pathcap)
-        elif flag == FLAG_GROWPATH:
-            pathcap *= GROWTH
-            state = _resize_state(state, cap, pathcap)
         elif flag == FLAG_SHRINK:
             # frontier is front-packed; safe to drop the all-zero tail
-            _drain(out, cfg, d, state)
-            state["ocount"] = jnp.asarray(0, jnp.int32)
+            _drain(out, cfg, d, state, ph)
             cap = _bucket(int(state["nvalid"]))
-            state = _resize_state(state, cap, pathcap)
+            state = _resize_state(state, cap)
             _save()
         state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
 

@@ -26,12 +26,14 @@ import functools
 
 import numpy as np
 
+from dataclasses import dataclass
+
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
 from ..mining.config import MiningConfig
 from ..mining.engine import (
+    EXT4,
     MIN_CAP,
-    DeviceIndexes,
     MinedOutput,
     _next_pow2,
     analyze_children,
@@ -39,22 +41,70 @@ from ..mining.engine import (
     emit_level,
     expand_core,
 )
+from ..ops.rank import ROWW, fused_rows
 from .mesh import PREFIX_AXIS, SAMPLES_AXIS, default_mesh_shape, make_mesh, row_masks
 
 
-def _sharded_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask):
+@dataclass
+class ShardedIndexes:
+    """Per-sample bidirectional tables padded to a COMMON row count so the
+    sample axis is a shardable leading dimension (unequal samples are
+    right-padded with inert zero rows that no in-range position gathers)."""
+
+    S: int
+    ns: np.ndarray   # (S,) int64
+    frows: object    # jnp (S, NBP, ROWW) uint32
+    rrows: object    # jnp (S, NBP, ROWW) uint32
+    C4: object       # jnp (S, 4) int32
+    C4hi: object
+
+    @classmethod
+    def build(cls, indexes: list[FMIndex], pad_to: int | None = None
+              ) -> "ShardedIndexes":
+        import jax.numpy as jnp
+
+        S_real = len(indexes)
+        S = pad_to if pad_to is not None else S_real
+        if S < S_real:
+            raise ValueError("pad_to smaller than the number of samples")
+        fr = [fused_rows(idx.table) for idx in indexes]
+        rr = [fused_rows(idx.rtable) for idx in indexes]
+        nbp = max(a.shape[0] for a in fr)
+        frows = np.zeros((S, nbp, ROWW), dtype=np.uint32)
+        rrows = np.zeros((S, nbp, ROWW), dtype=np.uint32)
+        C4 = np.zeros((S, 4), dtype=np.int32)
+        C4hi = np.zeros((S, 4), dtype=np.int32)
+        ns = np.ones(S, dtype=np.int64)  # dummies: text "\0"
+        for s, idx in enumerate(indexes):
+            frows[s, : fr[s].shape[0]] = fr[s]
+            rrows[s, : rr[s].shape[0]] = rr[s]
+            C4[s] = [idx.C[c] for c in EXT4]
+            C4hi[s] = [idx.C[c + 1] for c in EXT4]
+            ns[s] = idx.n
+        return cls(S=S, ns=ns, frows=jnp.asarray(frows),
+                   rrows=jnp.asarray(rrows), C4=jnp.asarray(C4),
+                   C4hi=jnp.asarray(C4hi))
+
+
+def _sharded_step_impl(frows, rrows, C4, lo, hi, rlo, valid, fmin,
+                       sym_mask):
     """shard_map body.  Local shapes (R = local prefix rows, S = local
-    samples): blocks (S, NB, B), occ (S, NB+1, SIGMA), C4 (S, 4),
-    lo/hi (R, CAP, S), elo/ehi (R, CAP, S, 4), valid (R, CAP),
-    sym_mask (R, 4)."""
+    samples): frows/rrows (S, NBP, ROWW), C4 (S, 4),
+    lo/hi/rlo (R, CAP, S), valid (R, CAP), sym_mask (R, 4)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    S_loc, nbp = frows.shape[0], frows.shape[1]
+    soff = jnp.arange(S_loc, dtype=jnp.int32) * nbp
+    frows_flat = frows.reshape(S_loc * nbp, ROWW)
+    rrows_flat = rrows.reshape(S_loc * nbp, ROWW)
+
     core = jax.vmap(
-        lambda lo_r, hi_r, elo_r, ehi_r, valid_r: expand_core(
-            blocks, occ, C4, lo_r, hi_r, elo_r, ehi_r, valid_r, fmin)
-    )(lo, hi, elo, ehi, valid)
+        lambda lo_r, hi_r, rlo_r, valid_r: expand_core(
+            frows_flat, rrows_flat, soff, C4, lo_r, hi_r, rlo_r, valid_r,
+            fmin)
+    )(lo, hi, rlo, valid)
 
     # the "trie merge": global child stats via psum over the samples axis
     child_counts = lax.psum(core["child_counts"], SAMPLES_AXIS)  # (R, CAP, 4)
@@ -64,7 +114,7 @@ def _sharded_step_impl(blocks, occ, C4, lo, hi, elo, ehi, valid, fmin, sym_mask)
 
     res = jax.vmap(compact_children)(
         union_child,
-        {k: core[k] for k in ("clo", "chi", "celo", "cehi", "cactive")},
+        {k: core[k] for k in ("clo", "chi", "crlo", "cactive")},
     )
     res.update(freq=core["freq"], lc=core["lc"], single_full=single_full)
     return res
@@ -85,18 +135,17 @@ def _jitted_sharded_step(mesh):
             return sm(f, mesh=mesh, in_specs=in_specs,
                       out_specs=out_specs, check_rep=False)
 
-    spec_tbl = P(SAMPLES_AXIS)                       # blocks/occ/C4
-    spec_iv = P(PREFIX_AXIS, None, SAMPLES_AXIS)     # lo/hi
-    spec_ext = P(PREFIX_AXIS, None, SAMPLES_AXIS, None)
+    spec_tbl = P(SAMPLES_AXIS)                       # frows/rrows/C4
+    spec_iv = P(PREFIX_AXIS, None, SAMPLES_AXIS)     # lo/hi/rlo
     spec_row = P(PREFIX_AXIS)                        # valid/sym_mask
     fn = shard_map(
         _sharded_step_impl,
         mesh=mesh,
         in_specs=(spec_tbl, spec_tbl, spec_tbl,
-                  spec_iv, spec_iv, spec_ext, spec_ext, spec_row,
+                  spec_iv, spec_iv, spec_iv, spec_row,
                   P(), spec_row),
         out_specs=dict(
-            lo=spec_iv, hi=spec_iv, elo=spec_ext, ehi=spec_ext,
+            lo=spec_iv, hi=spec_iv, rlo=spec_iv,
             valid=spec_row,
             parent_row=spec_row, sym=spec_row,
             child_count=P(PREFIX_AXIS),
@@ -107,19 +156,16 @@ def _jitted_sharded_step(mesh):
     return jax.jit(fn)
 
 
-def _seed_sharded(dev: DeviceIndexes, n_rows: int, cap: int):
+def _seed_sharded(dev: ShardedIndexes, n_rows: int, cap: int):
     import jax.numpy as jnp
 
     S = dev.S
     lo = jnp.zeros((n_rows, cap, S), dtype=jnp.int32)
     hi = jnp.zeros((n_rows, cap, S), dtype=jnp.int32)
     hi = hi.at[:, 0].set(jnp.asarray(dev.ns, dtype=jnp.int32)[None, :])
-    elo = jnp.zeros((n_rows, cap, S, 4), dtype=jnp.int32)
-    ehi = jnp.zeros((n_rows, cap, S, 4), dtype=jnp.int32)
-    elo = elo.at[:, 0].set(dev.C4[None])
-    ehi = ehi.at[:, 0].set(dev.C4hi[None])
+    rlo = jnp.zeros((n_rows, cap, S), dtype=jnp.int32)
     valid = jnp.zeros((n_rows, cap), dtype=bool).at[:, 0].set(True)
-    return lo, hi, elo, ehi, valid
+    return lo, hi, rlo, valid
 
 
 def _resize_sharded(state, cap: int):
@@ -131,12 +177,11 @@ def _resize_sharded(state, cap: int):
     if cap < cur:
         return tuple(a[:, :cap] for a in state)
     pad = cap - cur
-    lo, hi, elo, ehi, valid = state
+    lo, hi, rlo, valid = state
     return (
         jnp.pad(lo, ((0, 0), (0, pad), (0, 0))),
         jnp.pad(hi, ((0, 0), (0, pad), (0, 0))),
-        jnp.pad(elo, ((0, 0), (0, pad), (0, 0), (0, 0))),
-        jnp.pad(ehi, ((0, 0), (0, pad), (0, 0), (0, 0))),
+        jnp.pad(rlo, ((0, 0), (0, pad), (0, 0))),
         jnp.pad(valid, ((0, 0), (0, pad))),
     )
 
@@ -162,7 +207,7 @@ def mine_sharded(
     n_sshard = mesh.shape[SAMPLES_AXIS]
     d = len(indexes)
     pad_to = -(-d // n_sshard) * n_sshard
-    dev = DeviceIndexes.build(indexes, pad_to=pad_to)
+    dev = ShardedIndexes.build(indexes, pad_to=pad_to)
 
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
     step = _jitted_sharded_step(mesh)
@@ -184,7 +229,7 @@ def mine_sharded(
         else:
             sym_mask = mask_all
 
-        res = step(dev.blocks, dev.occ, dev.C4, *state, fmin, sym_mask)
+        res = step(dev.frows, dev.rrows, dev.C4, *state, fmin, sym_mask)
         counts = np.asarray(res["child_count"])
         cap_now = state[0].shape[1]
         if counts.max() > cap_now:
@@ -211,7 +256,7 @@ def mine_sharded(
             paths[r] = [paths[r][u] + EXT_CHARS[c:c + 1]
                         for u, c in zip(parent_row[r, :cc].tolist(),
                                         sym[r, :cc].tolist())]
-        state = (res["lo"], res["hi"], res["elo"], res["ehi"], res["valid"])
+        state = (res["lo"], res["hi"], res["rlo"], res["valid"])
         want = max(MIN_CAP, _next_pow2(int(counts.max())))
         if want < cap_now:
             state = _resize_sharded(state, want)

@@ -70,12 +70,13 @@ def test_checkpoint_rejects_other_config(small_indexes, tmp_path):
 
     dev = DeviceIndexes.build(small_indexes)
     state = __import__("dsm_tpu.mining.engine_device",
-                       fromlist=["_seed_episode"])._seed_episode(dev, 4096, 256)
+                       fromlist=["_seed_episode"])._seed_episode(dev, 4096)
     out = mine_np(small_indexes, MiningConfig(fmin=2, emax=1.2))
     cfg = MiningConfig(fmin=2, emax=1.2)
-    ckpt_mod.save_checkpoint(ck, state, out, cfg, b"", dev.ns)
+    ckpt_mod.save_checkpoint(ck, state, out, cfg, b"", dev.ns, [b""])
     with pytest.raises(ValueError, match="different"):
         ckpt_mod.load_checkpoint(ck, MiningConfig(fmin=3, emax=1.2), b"",
                                  dev.ns)
-    st, out2 = ckpt_mod.load_checkpoint(ck, cfg, b"", dev.ns)
+    st, out2, paths = ckpt_mod.load_checkpoint(ck, cfg, b"", dev.ns)
     assert out2.format_lines() == out.format_lines()
+    assert paths == [b""]
