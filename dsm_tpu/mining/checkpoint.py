@@ -3,8 +3,8 @@
 The reference has no mining checkpoints — a failed run restarts from
 scratch (fail-stop everywhere, metaserver.cpp exit(1) paths).  Our
 device engine's episode exits are natural checkpoints: after a drain the
-output buffers are empty and the parent-pointer history has been pulled,
-so a complete snapshot is just
+output buffers are empty and the live frontier's paths can be decoded
+from the device-resident history, so a complete snapshot is just
 
   * the frontier (lo/hi/rlo, nvalid, depth),
   * the decoded paths of the live frontier rows (the history itself is
@@ -67,7 +67,6 @@ def save_checkpoint(path: str, state: dict, out: MinedOutput,
     host = {k: np.asarray(v) for k, v in jax.device_get(
         {k: state[k] for k in _STATE_KEYS}).items()}
     assert int(state["ocount"]) == 0, "checkpoint requires drained outputs"
-    assert int(state["nlev"]) == 0, "checkpoint requires a pulled history"
     for k in ("lo", "hi", "rlo"):
         host[k] = host[k][:nvalid]
     buf = io.BytesIO()

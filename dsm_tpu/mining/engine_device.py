@@ -4,24 +4,34 @@ The per-level engine (mining/engine.py) pays one host round-trip per trie
 level — fatal when the chip sits behind a network tunnel and the trie is
 hundreds of levels deep.  Here the entire reference pipeline
 (EnumerateQuery DFS + metaserver merge/gates, metaserver.cpp:269-486)
-becomes ONE jitted `lax.while_loop` episode:
+becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
+~= device-busy time:
 
   * frontier state — the bidirectional intervals (lo, hi, rlo), 3 int32
     per (node, sample) — lives in HBM across levels; each level runs as a
     fori_loop over CHUNK-row slices with a DYNAMIC trip count
     ceil(nvalid/CHUNK), so compute scales with the live frontier width,
-    not the capacity bucket — capacity buckets can then be few and large
-    (GROWTH=8), minimizing episode recompiles;
+    not the capacity;
+  * capacity is FIXED per run at next_pow2(sum of text lengths) (the
+    frontier can never exceed the number of distinct substrings of one
+    length, which is bounded by the total text length), so the episode
+    compiles exactly once and never pays grow/shrink exits — chunking
+    makes the large buffers free, and a (rare) overflow of the CAP_MAX
+    clamp still grows via FLAG_GROW;
+  * the frontier is double-buffered: the while carry holds (cur, nxt)
+    buffer pairs that SWAP roles each level, so advancing a level moves
+    no data — stale rows beyond nvalid are masked by the chunk valid
+    flags, never zeroed;
   * each chunk fuses expansion (4 fused-row ranks per node-sample,
     ops/rank.py), the output gates, and stream compaction of both the
     output rows and the next frontier (running offsets + fixed-width
     updates whose garbage tails the next chunk overwrites);
-  * NO path strings are materialized on device: each child appends one
-    packed int32 (parent_row*4 + symbol) to a history buffer; the host
-    reconstructs the few paths it needs (gated outputs, tail handoff,
-    checkpoints) by walking the pulled history backwards (PathHistory) —
-    this removes the former (CAP, 256)-byte path buffer whose per-level
-    traffic rivaled the expansion itself;
+  * NO path strings are materialized on device AND the packed
+    parent-pointer history (one int32 per child: parent_row*4 + sym) is
+    never bulk-pulled: it stays device-resident, and the few paths the
+    host needs (gated outputs, tail handoff, checkpoints) are decoded by
+    an on-device ancestor walk (_decode_rows) that pulls only (rows,
+    depth) bytes;
   * every output gate the server applies (metaserver.cpp:403-419) is
     evaluated on device — depth window, pmin/pmax band, entropy window,
     right-branching, left-branching — and passing rows are compacted
@@ -30,20 +40,17 @@ becomes ONE jitted `lax.while_loop` episode:
     host re-checks drained candidates in float64 with the reference's
     exact expression shapes (engine_np.node_entropy), so emitted lines
     are bit-identical to the oracle while the device never touches f64;
-  * the episode exits only to report: frontier-capacity overflow (host
-    grows the pow2 bucket and the level is redone — no emission happens
-    on the overflow branch, so no duplicates), history-buffer pressure
-    (host pulls the finished levels, resets, and the level is redone),
-    output-buffer pressure (host drains, resumes), frontier shrink
-    (host re-buckets down so deep narrow tails stop paying full-width
-    compute), or completion;
-  * frontiers that turn narrow past TAIL_MIN_DEPTH exit to the host
-    wavefront (engine_np.mine_from_level) — the deep-thin-tail regime
-    where a host level costs less than a device step.
+  * the episode exits only to report: completion, output-buffer pressure
+    (host drains, resumes), history pressure (host drains outputs, pulls
+    the finished levels into PathHistory, resets — the level is redone
+    with no emission on the overflow branch, so no duplicates), frontier
+    shrink past TAIL_WIDTH/TAIL_MIN_DEPTH (host wavefront finishes the
+    deep thin tail where a numpy level costs less than a device step),
+    or capacity overflow (only past the CAP_MAX clamp).
 
-Host work per episode is O(drained outputs + history ints), not O(trie
-bytes).  Semantics are those of engine_np.mine_np in 'ascending' reader
-order; byte-exact gnu-order runs use the per-level engine
+Host work per episode is O(drained outputs), not O(trie bytes).
+Semantics are those of engine_np.mine_np in 'ascending' reader order;
+byte-exact gnu-order runs use the per-level engine
 (mine_tpu(reader_order='gnu')).
 
 Entropy min/max *statistics* (stderr diagnostics in the reference,
@@ -56,7 +63,6 @@ from __future__ import annotations
 import functools
 import os
 import sys
-import threading
 import time
 from dataclasses import dataclass
 
@@ -70,44 +76,56 @@ from .engine_np import LOG2, MinedOutput, node_entropy
 
 CHUNK = 4096          # per-chunk rows: bounds the rank-gather intermediates
 #                       and is the work granularity (compute scales with
-#                       ceil(nvalid/CHUNK), not with the capacity bucket)
+#                       ceil(nvalid/CHUNK), not with the capacity)
 DEV_MIN_CAP = CHUNK   # frontier buffers must hold >= one chunk
-GROWTH = 8            # capacity bucket growth factor: every distinct cap
-#                       bucket compiles its own episode program; chunked
-#                       processing makes a big bucket nearly free, so keep
-#                       buckets few (the next bucket is precompiled in a
-#                       background thread while the current one mines)
+CAP_MAX = 1 << 22     # auto-capacity clamp; beyond this FLAG_GROW kicks in
+GROWTH = 8            # capacity growth factor on (rare) overflow past CAP_MAX
 OUT_RESERVE = 1 << 15  # drained-output buffer target size
-HIST_CAP = 1 << 22     # packed parent*4+sym history entries per segment
-LVL_CAP = 1 << 13      # per-segment level-length slots
+LVL_CAP = 1 << 13      # per-segment level-offset slots
 ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
-(FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_HISTFULL, FLAG_SHRINK,
- FLAG_TAIL) = range(7)
+DECODE_K = 4096        # rows per on-device path-decode dispatch
+(FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_HISTFULL,
+ FLAG_TAIL) = range(6)
 
 # Hand the frontier to the host numpy wavefront once it is this narrow
 # and past this depth: a TPU while-loop iteration costs ~the same for 2
-# live rows as for MIN_CAP, and deep tries (long repeats) have thousands
-# of near-empty levels — the reference's followOneBranch fast lane
-# (EnumerateQuery.cpp:105-149) solves the same problem recursively.
+# live rows as for a full chunk, and deep tries (long repeats) have
+# thousands of near-empty levels — the reference's followOneBranch fast
+# lane (EnumerateQuery.cpp:105-149) solves the same problem recursively.
 TAIL_WIDTH = 768
 TAIL_MIN_DEPTH = 12
 
 
-def _bucket(x: int) -> int:
-    """Smallest DEV_MIN_CAP * GROWTH**k >= x (the only frontier sizes)."""
-    cap = DEV_MIN_CAP
-    while cap < x:
-        cap *= GROWTH
-    return cap
+def _next_pow2(x: int) -> int:
+    return 1 << max(x - 1, 1).bit_length()
+
+
+def _auto_cap(dev: DeviceIndexes, floor: int) -> int:
+    """Fixed frontier capacity: every level's width is bounded by the
+    number of distinct substrings of that length <= sum of text lengths,
+    so next_pow2(sum n_s) never overflows (clamped to CAP_MAX)."""
+    want = min(_next_pow2(int(dev.ns.sum()) + 1), CAP_MAX)
+    return max(DEV_MIN_CAP, _next_pow2(floor), want)
+
+
+def _hist_cap(dev: DeviceIndexes) -> int:
+    """Device history sizing: one int32 per union-trie node.  Tries are
+    typically a small multiple of the text length; 8x covers everything
+    we have measured, and overflow degrades to a (pulled) FLAG_HISTFULL
+    segment, never to an error."""
+    want = 8 * _next_pow2(int(dev.ns.sum()) + 1)
+    return max(1 << 20, min(want, 1 << 25))
 
 
 class PathHistory:
-    """Host-side decoder for the device's packed parent-pointer history.
+    """Host-side decoder for pulled parent-pointer history segments.
 
-    Level d's entries (one int32 per node: parent_row*4 + sym, in frontier
-    row order) are written while level d-1 expands; segments pulled at
-    episode exits accumulate here keyed by absolute depth.  base_paths
-    seeds rows at base_depth (checkpoint resume)."""
+    Only FLAG_HISTFULL exits pull history off the device; in the common
+    case this holds nothing and decoding happens on device.  Level d's
+    entries (one int32 per node: parent_row*4 + sym, in frontier row
+    order) map rows at depth d to (parent row at d-1, symbol); segments
+    accumulate keyed by absolute depth.  base_paths seeds rows at
+    base_depth (checkpoint resume)."""
 
     def __init__(self, base_depth: int = 0,
                  base_paths: list[bytes] | None = None) -> None:
@@ -176,21 +194,31 @@ class _Scalars:
                 self.tail_width, self.out_reserve)
 
 
-def _seed_episode(dev: DeviceIndexes, cap: int):
+def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
+    """Fresh episode state.  lo/hi/rlo and the b_* shadow buffers are the
+    double-buffered frontier (cap + 4*CHUNK rows so a full chunk write at
+    a running offset never clips); hist/lvl_off are the device-resident
+    parent-pointer history of the current segment."""
     import jax.numpy as jnp
 
     S = dev.S
+    if hist_cap is None:
+        hist_cap = _hist_cap(dev)
+    rows = cap + 4 * CHUNK
     ocap = OUT_RESERVE + cap + CHUNK
     return dict(
-        lo=jnp.zeros((cap, S), jnp.int32),
-        hi=jnp.zeros((cap, S), jnp.int32).at[0].set(
+        lo=jnp.zeros((rows, S), jnp.int32),
+        hi=jnp.zeros((rows, S), jnp.int32).at[0].set(
             jnp.asarray(dev.ns, jnp.int32)),
-        rlo=jnp.zeros((cap, S), jnp.int32),
+        rlo=jnp.zeros((rows, S), jnp.int32),
+        b_lo=jnp.zeros((rows, S), jnp.int32),
+        b_hi=jnp.zeros((rows, S), jnp.int32),
+        b_rlo=jnp.zeros((rows, S), jnp.int32),
         nvalid=jnp.asarray(1, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
-        hist=jnp.zeros(HIST_CAP + 4 * CHUNK, jnp.int32),
+        hist=jnp.zeros(hist_cap + 4 * CHUNK, jnp.int32),
         hist_len=jnp.asarray(0, jnp.int32),
-        lvl_len=jnp.zeros(LVL_CAP, jnp.int32),
+        lvl_off=jnp.zeros(LVL_CAP, jnp.int32),
         nlev=jnp.asarray(0, jnp.int32),
         out_freq=jnp.zeros((ocap, S), jnp.int32),
         out_row=jnp.zeros(ocap, jnp.int32),
@@ -215,18 +243,19 @@ def _entropy_f32(freq, nactive, d):
 
 
 def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
-                  prefix_codes, state):
+                  prefix_codes, hist_cap, state):
     """One trie level, processed in CHUNK-row slices with a DYNAMIC trip
     count: compute scales with the live frontier width (state["nvalid"]),
-    not the capacity bucket, so buckets can be few and large without a
-    padding tax.  Each chunk fuses expansion, the output gates, and
+    not the capacity.  Each chunk fuses expansion, the output gates, and
     stream compaction of outputs, history, and the next frontier (running
     offsets + fixed-width dynamic_update_slice whose garbage tail is
-    overwritten by the next chunk's write)."""
+    overwritten by the next chunk's write).  Advancing a level swaps the
+    (cur, nxt) frontier buffer roles instead of copying."""
     import jax.numpy as jnp
     from jax import lax
 
-    cap, S = state["lo"].shape
+    rows_cap, S = state["lo"].shape
+    cap = rows_cap - 4 * CHUNK
     depth = state["depth"]
     nvalid = state["nvalid"]
     nchunks = (nvalid + CHUNK - 1) // CHUNK
@@ -240,17 +269,9 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
-    # next-frontier buffers have 4*CHUNK slack rows so a full chunk write
-    # at the running offset never clips
-    nxt = dict(
-        lo=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
-        hi=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
-        rlo=jnp.zeros((cap + 4 * CHUNK, S), jnp.int32),
-    )
-
     def chunk_step(i, carry):
-        (nxt, hist, out_freq, out_row, out_depth, child_off, oc, tp,
-         emn, emx) = carry
+        (b_lo, b_hi, b_rlo, hist, out_freq, out_row, out_depth, child_off,
+         oc, tp, emn, emx) = carry
         base = i * CHUNK
         lo_c = lax.dynamic_slice_in_dim(state["lo"], base, CHUNK)
         hi_c = lax.dynamic_slice_in_dim(state["hi"], base, CHUNK)
@@ -313,56 +334,60 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         cact_f = core["cactive"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
         keep = cact_f[cperm]
         woff = jnp.minimum(child_off, cap)  # clip on overflow (redone)
-        nxt = dict(
-            lo=lax.dynamic_update_slice(
-                nxt["lo"], jnp.where(keep, clo_f[cperm], 0), (woff, 0)),
-            hi=lax.dynamic_update_slice(
-                nxt["hi"], jnp.where(keep, chi_f[cperm], 0), (woff, 0)),
-            rlo=lax.dynamic_update_slice(
-                nxt["rlo"], jnp.where(keep, crlo_f[cperm], 0), (woff, 0)),
-        )
-        hoff = jnp.minimum(state["hist_len"] + child_off, HIST_CAP)
+        b_lo = lax.dynamic_update_slice(
+            b_lo, jnp.where(keep, clo_f[cperm], 0), (woff, 0))
+        b_hi = lax.dynamic_update_slice(
+            b_hi, jnp.where(keep, chi_f[cperm], 0), (woff, 0))
+        b_rlo = lax.dynamic_update_slice(
+            b_rlo, jnp.where(keep, crlo_f[cperm], 0), (woff, 0))
+        hoff = jnp.minimum(state["hist_len"] + child_off, hist_cap)
         hist = lax.dynamic_update_slice(
             hist, (base + parent_loc) * 4 + sym, (hoff,))
-        return (nxt, hist, out_freq, out_row, out_depth, child_off + k_c,
-                oc, tp, emn, emx)
+        return (b_lo, b_hi, b_rlo, hist, out_freq, out_row, out_depth,
+                child_off + k_c, oc, tp, emn, emx)
 
-    carry = (nxt, state["hist"], state["out_freq"], state["out_row"],
-             state["out_depth"], jnp.asarray(0, jnp.int32), state["ocount"],
+    carry = (state["b_lo"], state["b_hi"], state["b_rlo"], state["hist"],
+             state["out_freq"], state["out_row"], state["out_depth"],
+             jnp.asarray(0, jnp.int32), state["ocount"],
              state["total_paths"], state["ent_min"], state["ent_max"])
-    (nxt, hist, out_freq, out_row, out_depth, child_count, oc, total_paths,
-     ent_min, ent_max) = lax.fori_loop(0, nchunks, chunk_step, carry)
+    (b_lo, b_hi, b_rlo, hist, out_freq, out_row, out_depth, child_count,
+     oc, total_paths, ent_min, ent_max) = lax.fori_loop(
+        0, nchunks, chunk_step, carry)
 
     grow = child_count > cap
-    histfull = (state["hist_len"] + child_count > HIST_CAP) \
+    histfull = (state["hist_len"] + child_count > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
 
     def redo(_):
+        # keep every written buffer (all writes land beyond the committed
+        # counters, which do not advance here, so the redo overwrites the
+        # same regions) — returning the inputs instead would force XLA to
+        # keep both copies alive across the cond
         out = dict(state)
+        out["b_lo"], out["b_hi"], out["b_rlo"] = b_lo, b_hi, b_rlo
+        out["hist"] = hist
+        out["out_freq"], out["out_row"], out["out_depth"] = \
+            out_freq, out_row, out_depth
         out["flag"] = jnp.where(grow, FLAG_GROW, FLAG_HISTFULL
                                 ).astype(jnp.int32)
         return out
 
     def advance(_):
-        rowi = jnp.arange(cap, dtype=jnp.int32)
-        live = (rowi < child_count)[:, None]
         flag = jnp.where(
             child_count == 0, FLAG_DONE,
             jnp.where((child_count <= sc.tail_width)
                       & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
-                      jnp.where(oc > sc.out_reserve, FLAG_DRAIN,
-                                jnp.where((child_count * (2 * GROWTH) <= cap)
-                                          & (cap > DEV_MIN_CAP),
-                                          FLAG_SHRINK, FLAG_RUN)))
+                      jnp.where(oc > sc.out_reserve, FLAG_DRAIN, FLAG_RUN))
         ).astype(jnp.int32)
         return dict(
-            lo=jnp.where(live, nxt["lo"][:cap], 0),
-            hi=jnp.where(live, nxt["hi"][:cap], 0),
-            rlo=jnp.where(live, nxt["rlo"][:cap], 0),
+            # buffer-pair swap: the freshly written nxt becomes cur
+            lo=b_lo, hi=b_hi, rlo=b_rlo,
+            b_lo=state["lo"], b_hi=state["hi"], b_rlo=state["rlo"],
             nvalid=child_count, depth=depth + 1,
-            hist=hist, hist_len=state["hist_len"] + child_count,
-            lvl_len=lax.dynamic_update_slice(
-                state["lvl_len"], child_count[None], (state["nlev"],)),
+            hist=hist,
+            hist_len=state["hist_len"] + child_count,
+            lvl_off=lax.dynamic_update_slice(
+                state["lvl_off"], state["hist_len"][None], (state["nlev"],)),
             nlev=state["nlev"] + 1,
             out_freq=out_freq, out_row=out_row, out_depth=out_depth,
             ocount=oc, total_paths=total_paths,
@@ -373,7 +398,7 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
 
 
 @functools.cache
-def _jitted_episode(cap: int, S: int, prefix_codes: tuple):
+def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
     import jax
 
     def run(frows, rrows, soff, C4, state, *flat_scalars):
@@ -383,82 +408,106 @@ def _jitted_episode(cap: int, S: int, prefix_codes: tuple):
             return st["flag"] == FLAG_RUN
 
         def body(st):
-            return _episode_body(frows, rrows, soff, C4, sc, prefix_codes, st)
+            return _episode_body(frows, rrows, soff, C4, sc, prefix_codes,
+                                 hist_cap, st)
 
         return jax.lax.while_loop(cond, body, state)
 
     return jax.jit(run, donate_argnums=(4,))
 
 
-def _precompile_next(dev: DeviceIndexes, cap: int, prefix_codes: tuple,
-                     sc: _Scalars) -> threading.Thread | None:
-    """Compile the next capacity bucket's episode in a background thread
-    while the current bucket mines, so a FLAG_GROW transition costs a
-    (persistent-) cache hit instead of a full XLA compile."""
-    if os.environ.get("DSM_PRECOMPILE", "1") != "1":
-        return None
+@functools.cache
+def _jitted_decode(dcols: int):
+    """On-device ancestor walk: rows at per-row relative levels `jvec`
+    (1-based within the current history segment) walk down to the segment
+    base, scattering one symbol per level into a (DECODE_K, dcols) int8
+    matrix.  Pulls are O(rows * depth) bytes instead of the whole
+    history."""
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    def shaped(x):
-        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    def run(hist, lvl_off, rows, jvec):
+        def body(_, carry):
+            rows, jcur, syms = carry
+            take = jcur >= 1
+            off = jnp.where(take, lvl_off[jnp.maximum(jcur - 1, 0)], 0)
+            e = jnp.where(take, hist[off + rows], 0)
+            col = jnp.where(take, jcur - 1, dcols)  # dcols = OOB -> dropped
+            syms = syms.at[jnp.arange(rows.shape[0]), col].set(
+                (e & 3).astype(jnp.int8), mode="drop")
+            rows = jnp.where(take, e >> 2, rows)
+            return rows, jcur - 1, syms
 
-    def work():
-        try:
-            state = jax.eval_shape(lambda: _seed_episode(dev, cap))
-            fn = _jitted_episode(cap, dev.S, prefix_codes)
-            fn.lower(shaped(dev.frows), shaped(dev.rrows), shaped(dev.soff),
-                     shaped(dev.C4), state,
-                     *[shaped(s) for s in sc.flat()]).compile()
-        except Exception:  # pragma: no cover - best-effort warmup
-            pass
+        syms0 = jnp.zeros((rows.shape[0], dcols), jnp.int8)
+        rows, _, syms = lax.fori_loop(0, dcols, body, (rows, jvec, syms0))
+        return rows, syms
 
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    return t
+    return jax.jit(run)
 
 
-def _resize_state(state, cap: int):
-    """Host-side pow2 re-bucketing of the frontier + output buffers."""
+def _decode_rows(state, ph: PathHistory, seg_depth0: int,
+                 rows: np.ndarray, depths: np.ndarray) -> list[bytes]:
+    """Paths for frontier `rows` at absolute `depths` (vectorized): the
+    device walks each row to the current segment's base; PathHistory
+    covers any earlier (pulled) segments and the checkpoint base."""
+    import jax
     import jax.numpy as jnp
 
-    def pad_rows(a, rows):
-        cur = a.shape[0]
-        if rows == cur:
-            return a
-        if rows < cur:
-            return a[:rows]
-        return jnp.pad(a, ((0, rows - cur),) + ((0, 0),) * (a.ndim - 1))
-
-    out = dict(state)
-    for k in ("lo", "hi", "rlo"):
-        out[k] = pad_rows(state[k], cap)
-    ocap = OUT_RESERVE + cap + CHUNK
-    for k in ("out_freq", "out_row", "out_depth"):
-        out[k] = pad_rows(state[k], ocap)
-    return out
+    rows = np.asarray(rows, dtype=np.int32)
+    depths = np.asarray(depths, dtype=np.int32)
+    m = rows.shape[0]
+    if m == 0:
+        return []
+    jvec_all = depths - seg_depth0
+    maxj = int(jvec_all.max(initial=0))
+    if maxj == 0:
+        return ph.decode(seg_depth0, rows)
+    dcols = -(-maxj // 128) * 128
+    fn = _jitted_decode(dcols)
+    ext = np.frombuffer(EXT_CHARS, dtype=np.uint8)
+    paths: list[bytes] = []
+    for g0 in range(0, m, DECODE_K):
+        grp = slice(g0, min(g0 + DECODE_K, m))
+        k = grp.stop - grp.start
+        r = np.zeros(DECODE_K, dtype=np.int32)
+        j = np.zeros(DECODE_K, dtype=np.int32)
+        r[:k] = rows[grp]
+        j[:k] = jvec_all[grp]
+        base_rows, syms = jax.device_get(fn(
+            state["hist"], state["lvl_off"],
+            jnp.asarray(r), jnp.asarray(j)))
+        bases = ph.decode(seg_depth0, base_rows[:k])
+        for i in range(k):
+            paths.append(bases[i] + ext[syms[i, :jvec_all[g0 + i]]
+                                        .astype(np.int64)].tobytes())
+    return paths
 
 
 def _pull_segment(ph: PathHistory, seg_depth0: int, state) -> None:
-    """Pull the device's finished-level history into the host decoder and
-    reset the device-side segment."""
+    """FLAG_HISTFULL fallback: pull the device's finished-level history
+    into the host decoder and reset the device-side segment.  Any outputs
+    referencing the segment must be drained (device-decoded) BEFORE this
+    resets the offsets."""
     import jax
     import jax.numpy as jnp
 
     n = int(state["hist_len"])
     k = int(state["nlev"])
     if k:
-        packed, lens = jax.device_get(
-            (state["hist"][:n], state["lvl_len"][:k]))
+        packed, offs = jax.device_get(
+            (state["hist"][:n], state["lvl_off"][:k]))
+        lens = np.diff(np.append(offs, n))
         ph.add_segment(seg_depth0, packed, lens)
     state["hist_len"] = jnp.asarray(0, jnp.int32)
     state["nlev"] = jnp.asarray(0, jnp.int32)
 
 
 def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
-           ph: PathHistory) -> None:
+           ph: PathHistory, seg_depth0: int) -> None:
     """Pull output candidates, re-gate the entropy window in exact f64,
-    and append formatted lines (ascending reader order).  The history
-    covering every drained row must already be in `ph`."""
+    decode their paths on device, and append formatted lines (ascending
+    reader order)."""
     import jax
     import jax.numpy as jnp
 
@@ -475,27 +524,18 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
         ok = np.ones(n, dtype=bool)
     active = freq > 0
     keep = np.flatnonzero(ok)
-    # decode paths grouped by depth (vectorized walk per group)
-    paths: dict[int, list[bytes]] = {}
-    order: dict[int, int] = {}
-    for dep in np.unique(depths[keep]):
-        grp = keep[depths[keep] == dep]
-        paths[int(dep)] = ph.decode(int(dep), rows[grp])
-        order[int(dep)] = 0
-    for i in keep:
-        dep = int(depths[i])
-        path = paths[dep][order[dep]]
-        order[dep] += 1
+    paths = _decode_rows(state, ph, seg_depth0, rows[keep], depths[keep])
+    for j, i in enumerate(keep):
         act = np.flatnonzero(active[i])
         out.total_output += 1
         out.freq_histogram[act.size - 1] += 1
         occs = [(int(r), int(freq[i, r])) for r in act]
         out.total_occs += len(occs)
-        out.lines.append((path, float(ent[i]), occs))
+        out.lines.append((paths[j], float(ent[i]), occs))
 
 
 def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
-                  debug=False) -> None:
+                  seg_depth0: int, debug=False) -> None:
     """FLAG_TAIL: pull the (narrow) frontier and finish on the host
     (engine_np.mine_from_level) — thousands of thin deep levels cost
     microseconds each there vs a full device step each here."""
@@ -507,7 +547,8 @@ def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
     depth = int(state["depth"])
     lo, hi, rlo = jax.device_get(
         (state["lo"][:n], state["hi"][:n], state["rlo"][:n]))
-    paths = ph.decode(depth, np.arange(n))
+    paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
+                         np.full(n, depth))
     level = _Level(paths=paths, lo=lo.astype(np.int64),
                    hi=hi.astype(np.int64), rlo=rlo.astype(np.int64))
     if debug:
@@ -517,6 +558,28 @@ def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
         print(f"mine_device: host tail from depth {depth} width {n} "
               f"took {time.perf_counter() - t0:.2f}s",
               file=sys.stderr, flush=True)
+
+
+def _resize_state(state, cap: int):
+    """Rare safety path (frontier exceeded CAP_MAX): re-bucket the
+    frontier + output buffers on device."""
+    import jax.numpy as jnp
+
+    def pad_rows(a, rows):
+        cur = a.shape[0]
+        if rows == cur:
+            return a
+        if rows < cur:
+            return a[:rows]
+        return jnp.pad(a, ((0, rows - cur),) + ((0, 0),) * (a.ndim - 1))
+
+    out = dict(state)
+    for k in ("lo", "hi", "rlo", "b_lo", "b_hi", "b_rlo"):
+        out[k] = pad_rows(state[k], cap + 4 * CHUNK)
+    ocap = OUT_RESERVE + cap + CHUNK
+    for k in ("out_freq", "out_row", "out_depth"):
+        out[k] = pad_rows(state[k], ocap)
+    return out
 
 
 def mine_device(
@@ -535,6 +598,10 @@ def mine_device(
     smallest/largest-entropy diagnostics, which are f32-accurate for
     the device-emitted part.
 
+    `cap` is a floor; the actual fixed capacity is next_pow2(sum of text
+    lengths) clamped to CAP_MAX, which no frontier can exceed, so the
+    episode compiles once and runs without grow/resize exits.
+
     `checkpoint`: path to a snapshot written at every drain-type episode
     exit and resumed from automatically when the file exists
     (mining/checkpoint.py); `out_reserve` lowers the drain threshold
@@ -552,8 +619,9 @@ def mine_device(
     debug = os.environ.get("DSM_DEBUG") == "1"
     t0 = time.perf_counter()
 
-    cap = _bucket(cap)
-    state = _seed_episode(dev, cap)
+    cap = _auto_cap(dev, cap)
+    hist_cap = _hist_cap(dev)
+    state = _seed_episode(dev, cap, hist_cap)
     ph = PathHistory()
     seg_depth0 = 0
     if checkpoint is not None and os.path.exists(checkpoint):
@@ -561,8 +629,8 @@ def mine_device(
 
         host_state, out, base_paths = load_checkpoint(checkpoint, cfg,
                                                       prefix, dev.ns)
-        cap = _bucket(max(int(host_state["nvalid"]), DEV_MIN_CAP))
-        fresh = _seed_episode(dev, cap)
+        cap = _auto_cap(dev, max(int(host_state["nvalid"]), cap))
+        fresh = _seed_episode(dev, cap, hist_cap)
         for k, v in host_state.items():
             arr = jnp.asarray(v)
             if arr.ndim and k in ("lo", "hi", "rlo"):
@@ -584,13 +652,13 @@ def mine_device(
             from .checkpoint import save_checkpoint
 
             n = int(state["nvalid"])
-            live_paths = ph.decode(int(state["depth"]), np.arange(n))
+            live_paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
+                                      np.full(n, int(state["depth"])))
             save_checkpoint(checkpoint, state, out, cfg, prefix, dev.ns,
                             live_paths)
 
-    _precompile_next(dev, cap * GROWTH, prefix_codes, sc)
     while True:
-        fn = _jitted_episode(cap, dev.S, prefix_codes)
+        fn = _jitted_episode(cap, hist_cap, dev.S, prefix_codes)
         state = fn(dev.frows, dev.rrows, dev.soff, dev.C4, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
@@ -602,17 +670,13 @@ def mine_device(
         if flag == FLAG_GROW:
             cap *= GROWTH
             state = _resize_state(state, cap)
-            _precompile_next(dev, cap * GROWTH, prefix_codes, sc)
             state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
             continue
-        # every other exit pulls the finished levels (outputs reference them)
-        _pull_segment(ph, seg_depth0, state)
-        seg_depth0 = int(state["depth"])
         if flag == FLAG_DONE:
-            _drain(out, cfg, d, state, ph)
+            _drain(out, cfg, d, state, ph, seg_depth0)
             break
         if flag == FLAG_TAIL:
-            _drain(out, cfg, d, state, ph)
+            _drain(out, cfg, d, state, ph, seg_depth0)
             # fold device-side stats in BEFORE the host tail refines them
             out.total_paths += int(state["total_paths"])
             em, eM = float(state["ent_min"]), float(state["ent_max"])
@@ -620,19 +684,21 @@ def mine_device(
                 out.smallest_entropy = min(out.smallest_entropy, em)
             if np.isfinite(eM):
                 out.largest_entropy = max(out.largest_entropy, eM)
-            _handoff_tail(indexes, cfg, prefix, out, state, ph, debug=debug)
+            _handoff_tail(indexes, cfg, prefix, out, state, ph, seg_depth0,
+                          debug=debug)
             if checkpoint is not None and os.path.exists(checkpoint):
                 os.unlink(checkpoint)
             out.sort_postorder()
             return out
-        if flag in (FLAG_DRAIN, FLAG_HISTFULL):
-            _drain(out, cfg, d, state, ph)
+        if flag == FLAG_DRAIN:
+            _drain(out, cfg, d, state, ph, seg_depth0)
             _save()
-        elif flag == FLAG_SHRINK:
-            # frontier is front-packed; safe to drop the all-zero tail
-            _drain(out, cfg, d, state, ph)
-            cap = _bucket(int(state["nvalid"]))
-            state = _resize_state(state, cap)
+        elif flag == FLAG_HISTFULL:
+            # outputs reference the current segment: decode them first,
+            # then pull the finished levels and reset the device segment
+            _drain(out, cfg, d, state, ph, seg_depth0)
+            _pull_segment(ph, seg_depth0, state)
+            seg_depth0 = int(state["depth"])
             _save()
         state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
 
