@@ -125,16 +125,47 @@ def _occ_psum4(cum5, pos):
     return occ4, psum4
 
 
-def expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin):
+def leftchar_codes(rrows, soff, rlo, freq):
+    """leftChar codes (EnumerateQuery.cpp:77-103) from right-extension
+    counts in the reverse index: a concrete base (code base+2) iff EVERY
+    occurrence extends right with that base in the reversed text, LC_N if
+    extensions are mixed-but-present, LC_ZERO if none (text boundary).
+
+    rlo/freq: (..., S) int32 reverse-interval starts and widths."""
+    import jax.numpy as jnp
+
+    soff_b = soff[None, :]
+    rhi = rlo + freq
+    rcum_lo = occ_cum(rrows, (rlo >> LOG2_BLOCK) + soff_b, rlo & (BLOCK - 1))
+    rcum_hi = occ_cum(rrows, (rhi >> LOG2_BLOCK) + soff_b, rhi & (BLOCK - 1))
+    rocc_lo, _ = _occ_psum4(rcum_lo, rlo)
+    rocc_hi, _ = _occ_psum4(rcum_hi, rhi)
+    rcnt = rocc_hi - rocc_lo                                 # (..., S, 4)
+    is_full = (rcnt == freq[..., None]) & (freq[..., None] > 0)
+    return jnp.where(
+        is_full.any(axis=-1), jnp.argmax(is_full, axis=-1) + 2,
+        jnp.where((rcnt > 0).any(axis=-1), LC_N, LC_ZERO),
+    ).astype(jnp.int8)
+
+
+def expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin,
+                with_lc: bool = True):
     """Shared per-shard expansion: 4-way LF of every (node, sample)'s
     forward interval, the children's synchronized reverse starts (prefix
-    sums over the forward counts), and the node's own leftChar codes from
-    the reverse index.  Works on whatever sample shard the tables and
-    intervals hold (full set single-device; a mesh shard under shard_map).
+    sums over the forward counts), and (with_lc) the node's own leftChar
+    codes from the reverse index.  Works on whatever sample shard the
+    tables and intervals hold (full set single-device; a mesh shard under
+    shard_map).
+
+    with_lc=False skips the two reverse-index rank positions — half the
+    gather traffic; callers that gate outputs lazily (engine_device)
+    compute leftchar_codes for the few candidate rows at drain time
+    instead of for every node.
 
     lo/hi/rlo: (CAP, S) int32.  Returns a dict of local arrays:
       clo, chi, crlo (CAP, S, 4); cactive (CAP, S, 4) bool; freq (CAP, S);
-      lc (CAP, S) int8; nactive (CAP,) int32; child_counts (CAP, 4) int32.
+      lc (CAP, S) int8 (with_lc only); nactive (CAP,) int32;
+      child_counts (CAP, 4) int32.
     """
     import jax.numpy as jnp
 
@@ -153,25 +184,15 @@ def expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin):
     cactive = pa3 & (cfreq >= fmin)                          # (CAP, S, 4)
 
     freq = hi - lo
-    # leftChar codes from right-extension counts in the reverse index
-    rhi = rlo + freq
-    rcum_lo = occ_cum(rrows, (rlo >> LOG2_BLOCK) + soff_b, rlo & (BLOCK - 1))
-    rcum_hi = occ_cum(rrows, (rhi >> LOG2_BLOCK) + soff_b, rhi & (BLOCK - 1))
-    rocc_lo, _ = _occ_psum4(rcum_lo, rlo)
-    rocc_hi, _ = _occ_psum4(rcum_hi, rhi)
-    rcnt = rocc_hi - rocc_lo                                 # (CAP, S, 4)
-    is_full = (rcnt == freq[:, :, None]) & (freq[:, :, None] > 0)
-    lc = jnp.where(
-        is_full.any(axis=2), jnp.argmax(is_full, axis=2) + 2,
-        jnp.where((rcnt > 0).any(axis=2), LC_N, LC_ZERO),
-    ).astype(jnp.int8)
-
-    return dict(
+    out = dict(
         clo=clo, chi=chi, crlo=crlo, cactive=cactive,
-        freq=freq, lc=lc,
+        freq=freq,
         nactive=(parent_active & (freq > 0)).sum(axis=1, dtype=jnp.int32),
         child_counts=cactive.sum(axis=1, dtype=jnp.int32),
     )
+    if with_lc:
+        out["lc"] = leftchar_codes(rrows, soff, rlo, freq)
+    return out
 
 
 def analyze_children(union_child, child_counts, nactive):

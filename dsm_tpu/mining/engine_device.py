@@ -32,10 +32,15 @@ becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
     host needs (gated outputs, tail handoff, checkpoints) are decoded by
     an on-device ancestor walk (_decode_rows) that pulls only (rows,
     depth) bytes;
-  * every output gate the server applies (metaserver.cpp:403-419) is
-    evaluated on device — depth window, pmin/pmax band, entropy window,
-    right-branching, left-branching — and passing rows are compacted
-    into a device-resident output buffer as (level-row, depth, freqs);
+  * the cheap output gates the server applies (metaserver.cpp:403-417)
+    are evaluated on device in the hot loop — depth window, pmin/pmax
+    band, entropy window, right-branching — and passing rows are
+    compacted into a device-resident output buffer as (level-row, depth,
+    freqs, reverse-interval); the left-branching gate
+    (metaserver.cpp:418-419) is deferred to drain time, where
+    leftchar_codes runs on device for just the candidate rows — this
+    halves the per-node rank traffic (2 forward positions instead of
+    2 forward + 2 reverse);
   * the entropy window is gated in float32 with a safety margin; the
     host re-checks drained candidates in float64 with the reference's
     exact expression shapes (engine_np.node_entropy), so emitted lines
@@ -71,10 +76,10 @@ import numpy as np
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
 from .config import MiningConfig
-from .engine import DeviceIndexes, expand_core
+from .engine import DeviceIndexes, expand_core, leftchar_codes
 from .engine_np import LOG2, MinedOutput, node_entropy
 
-CHUNK = 4096          # per-chunk rows: bounds the rank-gather intermediates
+CHUNK = 8192          # per-chunk rows: bounds the rank-gather intermediates
 #                       and is the work granularity (compute scales with
 #                       ceil(nvalid/CHUNK), not with the capacity)
 DEV_MIN_CAP = CHUNK   # frontier buffers must hold >= one chunk
@@ -195,10 +200,13 @@ class _Scalars:
 
 
 def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
-    """Fresh episode state.  lo/hi/rlo and the b_* shadow buffers are the
-    double-buffered frontier (cap + 4*CHUNK rows so a full chunk write at
-    a running offset never clips); hist/lvl_off are the device-resident
-    parent-pointer history of the current segment."""
+    """Fresh episode state.  fr_lo/fr_hi/fr_rlo [2, rows, S] are the
+    double-buffered frontier — `parity` selects the live half, levels
+    read [p] and write [1-p], and committing a level just flips the
+    scalar, so XLA updates every buffer in place (cap + 4*CHUNK rows so
+    a full chunk write at a running offset never clips); hist/lvl_off
+    are the device-resident parent-pointer history of the current
+    segment."""
     import jax.numpy as jnp
 
     S = dev.S
@@ -207,13 +215,11 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     rows = cap + 4 * CHUNK
     ocap = OUT_RESERVE + cap + CHUNK
     return dict(
-        lo=jnp.zeros((rows, S), jnp.int32),
-        hi=jnp.zeros((rows, S), jnp.int32).at[0].set(
+        fr_lo=jnp.zeros((2, rows, S), jnp.int32),
+        fr_hi=jnp.zeros((2, rows, S), jnp.int32).at[0, 0].set(
             jnp.asarray(dev.ns, jnp.int32)),
-        rlo=jnp.zeros((rows, S), jnp.int32),
-        b_lo=jnp.zeros((rows, S), jnp.int32),
-        b_hi=jnp.zeros((rows, S), jnp.int32),
-        b_rlo=jnp.zeros((rows, S), jnp.int32),
+        fr_rlo=jnp.zeros((2, rows, S), jnp.int32),
+        parity=jnp.asarray(0, jnp.int32),
         nvalid=jnp.asarray(1, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
         hist=jnp.zeros(hist_cap + 4 * CHUNK, jnp.int32),
@@ -221,6 +227,7 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
         lvl_off=jnp.zeros(LVL_CAP, jnp.int32),
         nlev=jnp.asarray(0, jnp.int32),
         out_freq=jnp.zeros((ocap, S), jnp.int32),
+        out_rlo=jnp.zeros((ocap, S), jnp.int32),
         out_row=jnp.zeros(ocap, jnp.int32),
         out_depth=jnp.zeros(ocap, jnp.int32),
         ocount=jnp.asarray(0, jnp.int32),
@@ -249,15 +256,18 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
     not the capacity.  Each chunk fuses expansion, the output gates, and
     stream compaction of outputs, history, and the next frontier (running
     offsets + fixed-width dynamic_update_slice whose garbage tail is
-    overwritten by the next chunk's write).  Advancing a level swaps the
-    (cur, nxt) frontier buffer roles instead of copying."""
+    overwritten by the next chunk's write).  Advancing a level flips the
+    frontier parity scalar; every array updates in place (no lax.cond —
+    a redo only freezes the scalar counters, since all buffer writes land
+    beyond the committed offsets and the redone level overwrites them)."""
     import jax.numpy as jnp
     from jax import lax
 
-    rows_cap, S = state["lo"].shape
+    _, rows_cap, S = state["fr_lo"].shape
     cap = rows_cap - 4 * CHUNK
     depth = state["depth"]
     nvalid = state["nvalid"]
+    par = state["parity"]
     nchunks = (nvalid + CHUNK - 1) // CHUNK
 
     # per-level symbol mask: enforced prefix, then maxdepth cutoff
@@ -270,16 +280,17 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
     def chunk_step(i, carry):
-        (b_lo, b_hi, b_rlo, hist, out_freq, out_row, out_depth, child_off,
-         oc, tp, emn, emx) = carry
+        (fr_lo, fr_hi, fr_rlo, hist, out_freq, out_rlo, out_row,
+         out_depth, child_off, oc, tp, emn, emx) = carry
         base = i * CHUNK
-        lo_c = lax.dynamic_slice_in_dim(state["lo"], base, CHUNK)
-        hi_c = lax.dynamic_slice_in_dim(state["hi"], base, CHUNK)
-        rlo_c = lax.dynamic_slice_in_dim(state["rlo"], base, CHUNK)
+        lo_c = lax.dynamic_slice(fr_lo, (par, base, 0), (1, CHUNK, S))[0]
+        hi_c = lax.dynamic_slice(fr_hi, (par, base, 0), (1, CHUNK, S))[0]
+        rlo_c = lax.dynamic_slice(fr_rlo, (par, base, 0), (1, CHUNK, S))[0]
         valid_c = (base + jnp.arange(CHUNK, dtype=jnp.int32)) < nvalid
 
         core = expand_core(dev_frows, dev_rrows, dev_soff, dev_C4,
-                           lo_c, hi_c, rlo_c, valid_c, sc.fmin)
+                           lo_c, hi_c, rlo_c, valid_c, sc.fmin,
+                           with_lc=False)
         union_child = (core["child_counts"] > 0) & sym_mask[None, :] \
             & valid_c[:, None]
         nactive = core["nactive"]
@@ -293,10 +304,6 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         freq = core["freq"]
         active = freq > 0
         present = (nactive > 0) & valid_c & (depth >= 1)
-        lc = core["lc"]
-        lc_min = jnp.where(active, lc, 99).min(axis=1)
-        lc_max = jnp.where(active, lc, -1).max(axis=1)
-        lc_agg = jnp.where(lc_min == lc_max, lc_max, 1)  # 1 == LC_N
         ent32 = _entropy_f32(freq, nactive, S)
         egate = jnp.where(
             sc.use_egate,
@@ -305,11 +312,16 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         output = (present & (depth >= sc.mindepth)
                   & (nactive >= sc.pmin)
                   & ((sc.pmax == 0) | (nactive <= sc.pmax))
-                  & egate & ~single_full & (lc_agg < 2))
+                  & egate & ~single_full)
+        # NOTE: the left-branching gate (lc_agg) is applied at drain
+        # time on device for just these candidate rows (leftchar_codes
+        # over out_rlo/out_freq) — skipping it here removes the two
+        # reverse-index rank positions from the per-node hot loop
 
         operm = jnp.argsort(jnp.logical_not(output), stable=True)
         k_out = output.sum(dtype=jnp.int32)
         out_freq = lax.dynamic_update_slice(out_freq, freq[operm], (oc, 0))
+        out_rlo = lax.dynamic_update_slice(out_rlo, rlo_c[operm], (oc, 0))
         out_row = lax.dynamic_update_slice(
             out_row, (base + jnp.arange(CHUNK, dtype=jnp.int32))[operm], (oc,))
         out_depth = lax.dynamic_update_slice(
@@ -334,67 +346,66 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         cact_f = core["cactive"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
         keep = cact_f[cperm]
         woff = jnp.minimum(child_off, cap)  # clip on overflow (redone)
-        b_lo = lax.dynamic_update_slice(
-            b_lo, jnp.where(keep, clo_f[cperm], 0), (woff, 0))
-        b_hi = lax.dynamic_update_slice(
-            b_hi, jnp.where(keep, chi_f[cperm], 0), (woff, 0))
-        b_rlo = lax.dynamic_update_slice(
-            b_rlo, jnp.where(keep, crlo_f[cperm], 0), (woff, 0))
+        wpar = 1 - par
+        fr_lo = lax.dynamic_update_slice(
+            fr_lo, jnp.where(keep, clo_f[cperm], 0)[None], (wpar, woff, 0))
+        fr_hi = lax.dynamic_update_slice(
+            fr_hi, jnp.where(keep, chi_f[cperm], 0)[None], (wpar, woff, 0))
+        fr_rlo = lax.dynamic_update_slice(
+            fr_rlo, jnp.where(keep, crlo_f[cperm], 0)[None], (wpar, woff, 0))
         hoff = jnp.minimum(state["hist_len"] + child_off, hist_cap)
         hist = lax.dynamic_update_slice(
             hist, (base + parent_loc) * 4 + sym, (hoff,))
-        return (b_lo, b_hi, b_rlo, hist, out_freq, out_row, out_depth,
-                child_off + k_c, oc, tp, emn, emx)
+        return (fr_lo, fr_hi, fr_rlo, hist, out_freq, out_rlo, out_row,
+                out_depth, child_off + k_c, oc, tp, emn, emx)
 
-    carry = (state["b_lo"], state["b_hi"], state["b_rlo"], state["hist"],
-             state["out_freq"], state["out_row"], state["out_depth"],
-             jnp.asarray(0, jnp.int32), state["ocount"],
+    carry = (state["fr_lo"], state["fr_hi"], state["fr_rlo"], state["hist"],
+             state["out_freq"], state["out_rlo"], state["out_row"],
+             state["out_depth"], jnp.asarray(0, jnp.int32), state["ocount"],
              state["total_paths"], state["ent_min"], state["ent_max"])
-    (b_lo, b_hi, b_rlo, hist, out_freq, out_row, out_depth, child_count,
-     oc, total_paths, ent_min, ent_max) = lax.fori_loop(
+    (fr_lo, fr_hi, fr_rlo, hist, out_freq, out_rlo, out_row, out_depth,
+     child_count, oc, total_paths, ent_min, ent_max) = lax.fori_loop(
         0, nchunks, chunk_step, carry)
 
     grow = child_count > cap
     histfull = (state["hist_len"] + child_count > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
+    commit = ~(grow | histfull)
+    flag = jnp.where(
+        grow, FLAG_GROW,
+        jnp.where(
+            histfull, FLAG_HISTFULL,
+            jnp.where(
+                child_count == 0, FLAG_DONE,
+                jnp.where((child_count <= sc.tail_width)
+                          & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
+                          jnp.where(oc > sc.out_reserve, FLAG_DRAIN,
+                                    FLAG_RUN))))).astype(jnp.int32)
 
-    def redo(_):
-        # keep every written buffer (all writes land beyond the committed
-        # counters, which do not advance here, so the redo overwrites the
-        # same regions) — returning the inputs instead would force XLA to
-        # keep both copies alive across the cond
-        out = dict(state)
-        out["b_lo"], out["b_hi"], out["b_rlo"] = b_lo, b_hi, b_rlo
-        out["hist"] = hist
-        out["out_freq"], out["out_row"], out["out_depth"] = \
-            out_freq, out_row, out_depth
-        out["flag"] = jnp.where(grow, FLAG_GROW, FLAG_HISTFULL
-                                ).astype(jnp.int32)
-        return out
+    def keep_if(new, old):
+        return jnp.where(commit, new, old)
 
-    def advance(_):
-        flag = jnp.where(
-            child_count == 0, FLAG_DONE,
-            jnp.where((child_count <= sc.tail_width)
-                      & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
-                      jnp.where(oc > sc.out_reserve, FLAG_DRAIN, FLAG_RUN))
-        ).astype(jnp.int32)
-        return dict(
-            # buffer-pair swap: the freshly written nxt becomes cur
-            lo=b_lo, hi=b_hi, rlo=b_rlo,
-            b_lo=state["lo"], b_hi=state["hi"], b_rlo=state["rlo"],
-            nvalid=child_count, depth=depth + 1,
-            hist=hist,
-            hist_len=state["hist_len"] + child_count,
-            lvl_off=lax.dynamic_update_slice(
-                state["lvl_off"], state["hist_len"][None], (state["nlev"],)),
-            nlev=state["nlev"] + 1,
-            out_freq=out_freq, out_row=out_row, out_depth=out_depth,
-            ocount=oc, total_paths=total_paths,
-            ent_min=ent_min, ent_max=ent_max, flag=flag,
-        )
-
-    return lax.cond(grow | histfull, redo, advance, None)
+    return dict(
+        fr_lo=fr_lo, fr_hi=fr_hi, fr_rlo=fr_rlo,
+        parity=keep_if(1 - par, par),
+        nvalid=keep_if(child_count, nvalid),
+        depth=keep_if(depth + 1, depth),
+        hist=hist,
+        hist_len=keep_if(state["hist_len"] + child_count,
+                         state["hist_len"]),
+        # always record this level's start offset at slot nlev: on a redo
+        # nlev does not advance and the slot is simply overwritten
+        lvl_off=lax.dynamic_update_slice(
+            state["lvl_off"], state["hist_len"][None], (state["nlev"],)),
+        nlev=keep_if(state["nlev"] + 1, state["nlev"]),
+        out_freq=out_freq, out_rlo=out_rlo, out_row=out_row,
+        out_depth=out_depth,
+        ocount=keep_if(oc, state["ocount"]),
+        total_paths=keep_if(total_paths, state["total_paths"]),
+        ent_min=keep_if(ent_min, state["ent_min"]),
+        ent_max=keep_if(ent_max, state["ent_max"]),
+        flag=flag,
+    )
 
 
 @functools.cache
@@ -503,19 +514,31 @@ def _pull_segment(ph: PathHistory, seg_depth0: int, state) -> None:
     state["nlev"] = jnp.asarray(0, jnp.int32)
 
 
+@functools.cache
+def _jitted_lc():
+    import jax
+
+    return jax.jit(leftchar_codes)
+
+
 def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
-           ph: PathHistory, seg_depth0: int) -> None:
-    """Pull output candidates, re-gate the entropy window in exact f64,
-    decode their paths on device, and append formatted lines (ascending
-    reader order)."""
+           ph: PathHistory, seg_depth0: int, dev: DeviceIndexes) -> None:
+    """Pull output candidates, apply the deferred left-branching gate
+    (leftchar_codes on device for just these rows), re-gate the entropy
+    window in exact f64, decode paths on device, and append formatted
+    lines (ascending reader order)."""
     import jax
     import jax.numpy as jnp
 
     n = int(state["ocount"])
     if n == 0:
         return
-    freq, rows, depths = jax.device_get(
-        (state["out_freq"][:n], state["out_row"][:n], state["out_depth"][:n]))
+    npad = min(_next_pow2(n), state["out_rlo"].shape[0])
+    lc_dev = _jitted_lc()(dev.rrows, dev.soff,
+                          state["out_rlo"][:npad], state["out_freq"][:npad])
+    freq, rows, depths, lc = jax.device_get(
+        (state["out_freq"][:n], state["out_row"][:n],
+         state["out_depth"][:n], lc_dev[:n]))
     state["ocount"] = jnp.asarray(0, jnp.int32)
     ent = node_entropy(freq.astype(np.int64), d)
     if cfg.emax > 0:
@@ -523,6 +546,12 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
     else:
         ok = np.ones(n, dtype=bool)
     active = freq > 0
+    # left-branching gate (metaserver.cpp:418-419): concrete-base
+    # aggregate leftChar (same code on every active reader) is rejected
+    lc_min = np.where(active, lc, 99).min(axis=1)
+    lc_max = np.where(active, lc, -1).max(axis=1)
+    lc_agg = np.where(lc_min == lc_max, lc_max, 1)  # 1 == LC_N
+    ok &= lc_agg < 2
     keep = np.flatnonzero(ok)
     paths = _decode_rows(state, ph, seg_depth0, rows[keep], depths[keep])
     for j, i in enumerate(keep):
@@ -545,8 +574,10 @@ def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
 
     n = int(state["nvalid"])
     depth = int(state["depth"])
+    p = int(state["parity"])
     lo, hi, rlo = jax.device_get(
-        (state["lo"][:n], state["hi"][:n], state["rlo"][:n]))
+        (state["fr_lo"][p, :n], state["fr_hi"][p, :n],
+         state["fr_rlo"][p, :n]))
     paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
                          np.full(n, depth))
     level = _Level(paths=paths, lo=lo.astype(np.int64),
@@ -565,19 +596,21 @@ def _resize_state(state, cap: int):
     frontier + output buffers on device."""
     import jax.numpy as jnp
 
-    def pad_rows(a, rows):
-        cur = a.shape[0]
+    def pad_rows(a, rows, axis=0):
+        cur = a.shape[axis]
         if rows == cur:
             return a
         if rows < cur:
-            return a[:rows]
-        return jnp.pad(a, ((0, rows - cur),) + ((0, 0),) * (a.ndim - 1))
+            return a.take(np.arange(rows), axis=axis)
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, rows - cur)
+        return jnp.pad(a, pads)
 
     out = dict(state)
-    for k in ("lo", "hi", "rlo", "b_lo", "b_hi", "b_rlo"):
-        out[k] = pad_rows(state[k], cap + 4 * CHUNK)
+    for k in ("fr_lo", "fr_hi", "fr_rlo"):
+        out[k] = pad_rows(state[k], cap + 4 * CHUNK, axis=1)
     ocap = OUT_RESERVE + cap + CHUNK
-    for k in ("out_freq", "out_row", "out_depth"):
+    for k in ("out_freq", "out_rlo", "out_row", "out_depth"):
         out[k] = pad_rows(state[k], ocap)
     return out
 
@@ -634,11 +667,13 @@ def mine_device(
         for k, v in host_state.items():
             arr = jnp.asarray(v)
             if arr.ndim and k in ("lo", "hi", "rlo"):
-                tgt = fresh[k]
-                arr = arr[tuple(slice(0, t) for t in tgt.shape)]
-                pads = [(0, t - s) for t, s in zip(tgt.shape, arr.shape)]
-                arr = jnp.pad(arr, pads)
+                # checkpointed frontier loads into parity half 0
+                tgt = fresh["fr_" + k]
+                arr = arr[tuple(slice(0, t) for t in tgt.shape[1:])]
+                fresh["fr_" + k] = tgt.at[0, :arr.shape[0]].set(arr)
+                continue
             fresh[k] = arr
+        fresh["parity"] = jnp.asarray(0, jnp.int32)
         state = fresh
         state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
         seg_depth0 = int(state["depth"])
@@ -654,7 +689,10 @@ def mine_device(
             n = int(state["nvalid"])
             live_paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
                                       np.full(n, int(state["depth"])))
-            save_checkpoint(checkpoint, state, out, cfg, prefix, dev.ns,
+            p = int(state["parity"])
+            view = dict(state, lo=state["fr_lo"][p], hi=state["fr_hi"][p],
+                        rlo=state["fr_rlo"][p])
+            save_checkpoint(checkpoint, view, out, cfg, prefix, dev.ns,
                             live_paths)
 
     while True:
@@ -673,10 +711,10 @@ def mine_device(
             state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
             continue
         if flag == FLAG_DONE:
-            _drain(out, cfg, d, state, ph, seg_depth0)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev)
             break
         if flag == FLAG_TAIL:
-            _drain(out, cfg, d, state, ph, seg_depth0)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev)
             # fold device-side stats in BEFORE the host tail refines them
             out.total_paths += int(state["total_paths"])
             em, eM = float(state["ent_min"]), float(state["ent_max"])
@@ -691,12 +729,12 @@ def mine_device(
             out.sort_postorder()
             return out
         if flag == FLAG_DRAIN:
-            _drain(out, cfg, d, state, ph, seg_depth0)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev)
             _save()
         elif flag == FLAG_HISTFULL:
             # outputs reference the current segment: decode them first,
             # then pull the finished levels and reset the device segment
-            _drain(out, cfg, d, state, ph, seg_depth0)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev)
             _pull_segment(ph, seg_depth0, state)
             seg_depth0 = int(state["depth"])
             _save()

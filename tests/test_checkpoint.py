@@ -71,6 +71,8 @@ def test_checkpoint_rejects_other_config(small_indexes, tmp_path):
     dev = DeviceIndexes.build(small_indexes)
     state = __import__("dsm_tpu.mining.engine_device",
                        fromlist=["_seed_episode"])._seed_episode(dev, 4096)
+    state = dict(state, lo=state["fr_lo"][0], hi=state["fr_hi"][0],
+                 rlo=state["fr_rlo"][0])
     out = mine_np(small_indexes, MiningConfig(fmin=2, emax=1.2))
     cfg = MiningConfig(fmin=2, emax=1.2)
     ckpt_mod.save_checkpoint(ck, state, out, cfg, b"", dev.ns, [b""])
