@@ -15,7 +15,7 @@ measurement in BENCH_BASELINE.json is used instead and noted in the
 "baseline" field.
 
 Scale knobs (env):
-  DSM_BENCH_SCALE   dataset scale factor (default 20; toydata is scale 1)
+  DSM_BENCH_SCALE   dataset scale factor (default 100; toydata is scale 1)
   DSM_BENCH_SKIP_REF=1  never run the live reference (use frozen baseline)
 """
 
@@ -31,7 +31,7 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
-SCALE = int(os.environ.get("DSM_BENCH_SCALE", "20"))
+SCALE = int(os.environ.get("DSM_BENCH_SCALE", "100"))
 WORK = f"/tmp/dsm_tpu_bench_s{SCALE}"
 REF_SRC = "/root/reference"
 REF_BIN = os.environ.get("DSM_REF_BIN", "/tmp/refsrc-bench")

@@ -117,9 +117,14 @@ def _hist_cap(dev: DeviceIndexes) -> int:
     """Device history sizing: one int32 per union-trie node.  Tries are
     typically a small multiple of the text length; 8x covers everything
     we have measured, and overflow degrades to a (pulled) FLAG_HISTFULL
-    segment, never to an error."""
+    segment, never to an error.  The clamp spends up to 1 GiB of HBM —
+    a bulk pull over the device tunnel costs far more than the memory
+    (DSM_HIST_CAP overrides)."""
+    env = os.environ.get("DSM_HIST_CAP")
+    if env:
+        return int(env)
     want = 8 * _next_pow2(int(dev.ns.sum()) + 1)
-    return max(1 << 20, min(want, 1 << 25))
+    return max(1 << 20, min(want, 1 << 28))
 
 
 class PathHistory:
