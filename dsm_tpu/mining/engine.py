@@ -125,6 +125,27 @@ def _occ_psum4(cum5, pos):
     return occ4, psum4
 
 
+def leftchar_codes_pairs(rrows, soff_pair, rlo, freq):
+    """leftchar_codes for a flat (node, sample)-pair list: soff_pair is
+    each pair's per-sample row offset (soff[sid]), same shape as
+    rlo/freq (K,).  Returns (K,) int8 codes."""
+    import jax.numpy as jnp
+
+    rhi = rlo + freq
+    rcum_lo = occ_cum(rrows, (rlo >> LOG2_BLOCK) + soff_pair,
+                      rlo & (BLOCK - 1))
+    rcum_hi = occ_cum(rrows, (rhi >> LOG2_BLOCK) + soff_pair,
+                      rhi & (BLOCK - 1))
+    rocc_lo, _ = _occ_psum4(rcum_lo, rlo)
+    rocc_hi, _ = _occ_psum4(rcum_hi, rhi)
+    rcnt = rocc_hi - rocc_lo                                 # (K, 4)
+    is_full = (rcnt == freq[..., None]) & (freq[..., None] > 0)
+    return jnp.where(
+        is_full.any(axis=-1), jnp.argmax(is_full, axis=-1) + 2,
+        jnp.where((rcnt > 0).any(axis=-1), LC_N, LC_ZERO),
+    ).astype(jnp.int8)
+
+
 def leftchar_codes(rrows, soff, rlo, freq):
     """leftChar codes (EnumerateQuery.cpp:77-103) from right-extension
     counts in the reverse index: a concrete base (code base+2) iff EVERY

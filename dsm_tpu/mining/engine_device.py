@@ -5,42 +5,41 @@ level — fatal when the chip sits behind a network tunnel and the trie is
 hundreds of levels deep.  Here the entire reference pipeline
 (EnumerateQuery DFS + metaserver merge/gates, metaserver.cpp:269-486)
 becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
-~= device-busy time:
+~= device-busy time and device time ~= the rank-gather floor:
 
-  * frontier state — the bidirectional intervals (lo, hi, rlo), 3 int32
-    per (node, sample) — lives in HBM across levels; each level runs as a
-    fori_loop over CHUNK-row slices with a DYNAMIC trip count
-    ceil(nvalid/CHUNK), so compute scales with the live frontier width,
-    not the capacity;
-  * capacity is FIXED per run at next_pow2(sum of text lengths) (the
-    frontier can never exceed the number of distinct substrings of one
-    length, which is bounded by the total text length), so the episode
-    compiles exactly once and never pays grow/shrink exits — chunking
-    makes the large buffers free, and a (rare) overflow of the CAP_MAX
-    clamp still grows via FLAG_GROW;
-  * the frontier is double-buffered: the while carry holds (cur, nxt)
-    buffer pairs that SWAP roles each level, so advancing a level moves
-    no data — stale rows beyond nvalid are masked by the chunk valid
-    flags, never zeroed;
-  * each chunk fuses expansion (4 fused-row ranks per node-sample,
-    ops/rank.py), the output gates, and stream compaction of both the
-    output rows and the next frontier (running offsets + fixed-width
-    updates whose garbage tails the next chunk overwrites);
+  * the frontier is a SPARSE pair list, not a dense (node, sample)
+    matrix: measured union tries keep only ~1.3 of d samples active per
+    node (deep nodes are sample-specific), so a dense row wastes ~75%
+    of its rank gathers on empty intervals.  Each live pair holds
+    (lo, hi, rlo, sample, node) — the bidirectional intervals plus its
+    sample id and its node's row in the current level;
+  * each level runs four chunked passes with DYNAMIC trip counts, so
+    compute scales with the live pair/node counts, not capacity — and
+    the whole level is SCATTER-FREE (XLA lowers TPU scatters through a
+    per-chunk sort; every reduction here is a running prefix sum read
+    back as boundary differences, and every compaction is a stable
+    argsort-to-front + one contiguous slice write).  The pair list is
+    kept sorted by node id with each node's pairs contiguous — the
+    TPU-native form of the reference's d-stream lazy trie merge
+    (metaserver.cpp:269-486), where "streams meet at a node" becomes
+    "pairs of a node are adjacent".  See _episode_body for the passes
+    and the ordering invariant;
+  * capacity is FIXED per run (next_pow2 of the total text length,
+    clamped) so the episode compiles exactly once; pair capacity gets
+    2x headroom and a (rare) overflow still grows via FLAG_GROW;
+  * the pair list is double-buffered [2, PCAP]: levels read half p and
+    write half 1-p and committing flips the parity scalar, so every
+    buffer updates in place (no lax.cond: a redo only freezes the
+    scalar counters — all writes land beyond the committed offsets and
+    the redone level overwrites them);
   * NO path strings are materialized on device AND the packed
-    parent-pointer history (one int32 per child: parent_row*4 + sym) is
-    never bulk-pulled: it stays device-resident, and the few paths the
-    host needs (gated outputs, tail handoff, checkpoints) are decoded by
-    an on-device ancestor walk (_decode_rows) that pulls only (rows,
-    depth) bytes;
-  * the cheap output gates the server applies (metaserver.cpp:403-417)
-    are evaluated on device in the hot loop — depth window, pmin/pmax
-    band, entropy window, right-branching — and passing rows are
-    compacted into a device-resident output buffer as (level-row, depth,
-    freqs, reverse-interval); the left-branching gate
-    (metaserver.cpp:418-419) is deferred to drain time, where
-    leftchar_codes runs on device for just the candidate rows — this
-    halves the per-node rank traffic (2 forward positions instead of
-    2 forward + 2 reverse);
+    parent-pointer history is never bulk-pulled: it stays
+    device-resident, and the few paths the host needs (gated outputs,
+    tail handoff, checkpoints) are decoded by an on-device ancestor
+    walk (_decode_rows) that pulls only (rows, depth) bytes;
+  * the left-branching gate (metaserver.cpp:418-419) is deferred to
+    drain time, where leftchar_codes_pairs runs on device for just the
+    candidate pairs — traversal never touches the reverse-index ranks;
   * the entropy window is gated in float32 with a safety margin; the
     host re-checks drained candidates in float64 with the reference's
     exact expression shapes (engine_np.node_entropy), so emitted lines
@@ -75,17 +74,18 @@ import numpy as np
 
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
+from ..ops.rank import BLOCK, LOG2_BLOCK, occ_cum
 from .config import MiningConfig
-from .engine import DeviceIndexes, expand_core, leftchar_codes
+from .engine import DeviceIndexes, _occ_psum4, leftchar_codes_pairs
 from .engine_np import LOG2, MinedOutput, node_entropy
 
-CHUNK = 8192          # per-chunk rows: bounds the rank-gather intermediates
-#                       and is the work granularity (compute scales with
-#                       ceil(nvalid/CHUNK), not with the capacity)
-DEV_MIN_CAP = CHUNK   # frontier buffers must hold >= one chunk
-CAP_MAX = 1 << 22     # auto-capacity clamp; beyond this FLAG_GROW kicks in
-GROWTH = 8            # capacity growth factor on (rare) overflow past CAP_MAX
-OUT_RESERVE = 1 << 15  # drained-output buffer target size
+CHUNK = 8192          # pass work granularity (pairs / nodes per slice)
+DEV_MIN_CAP = CHUNK
+CAP_MAX = 1 << 22     # node-capacity clamp; beyond this FLAG_GROW kicks in
+PAIR_HEADROOM = 2     # PCAP = PAIR_HEADROOM * NCAP (avg active samples per
+#                       node is ~1.3 on real metagenomes; overflow grows)
+GROWTH = 4            # capacity growth factor on (rare) overflow
+OUT_RESERVE = 1 << 15  # drained-output buffer target size (pair rows)
 LVL_CAP = 1 << 13      # per-segment level-offset slots
 ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
 DECODE_K = 4096        # rows per on-device path-decode dispatch
@@ -106,8 +106,8 @@ def _next_pow2(x: int) -> int:
 
 
 def _auto_cap(dev: DeviceIndexes, floor: int) -> int:
-    """Fixed frontier capacity: every level's width is bounded by the
-    number of distinct substrings of that length <= sum of text lengths,
+    """Fixed node capacity: every level's union width is bounded by the
+    number of distinct substrings of that length <= total text length,
     so next_pow2(sum n_s) never overflows (clamped to CAP_MAX)."""
     want = min(_next_pow2(int(dev.ns.sum()) + 1), CAP_MAX)
     return max(DEV_MIN_CAP, _next_pow2(floor), want)
@@ -132,8 +132,8 @@ class PathHistory:
 
     Only FLAG_HISTFULL exits pull history off the device; in the common
     case this holds nothing and decoding happens on device.  Level d's
-    entries (one int32 per node: parent_row*4 + sym, in frontier row
-    order) map rows at depth d to (parent row at d-1, symbol); segments
+    entries (one int32 per node: parent_row*4 + sym, in node-id order)
+    map rows at depth d to (parent row at d-1, symbol); segments
     accumulate keyed by absolute depth.  base_paths seeds rows at
     base_depth (checkpoint resume)."""
 
@@ -204,35 +204,60 @@ class _Scalars:
                 self.tail_width, self.out_reserve)
 
 
+
 def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
-    """Fresh episode state.  fr_lo/fr_hi/fr_rlo [2, rows, S] are the
-    double-buffered frontier — `parity` selects the live half, levels
-    read [p] and write [1-p], and committing a level just flips the
-    scalar, so XLA updates every buffer in place (cap + 4*CHUNK rows so
-    a full chunk write at a running offset never clips); hist/lvl_off
-    are the device-resident parent-pointer history of the current
-    segment."""
+    """Fresh episode state.
+
+    pr_* [2, PCAP + slack] is the double-buffered sparse pair list
+    (lo/hi/rlo intervals + sample id + node id), kept GLOBALLY SORTED by
+    node id with each node's pairs contiguous (see _episode_body);
+    `parity` selects the live half.  nb [2, NCAP + slack] maps node id ->
+    first-pair index (one extra sentinel entry = npairs).  cum_* are the
+    per-level running prefix sums over pairs from which pass B reads
+    every node statistic as a boundary difference (cum_nln is int64
+    FIXED-POINT, 2^-20 units: integer prefix sums cancel exactly, where
+    a float32 prefix would lose the per-node difference in a large
+    running total).  c_* is the pass-A -> pass-C per-pair child scratch;
+    nd_cid/nd_out are pass-B -> pass-C per-node tables; hist/lvl_off are
+    the device-resident parent-pointer history of the current segment."""
     import jax.numpy as jnp
 
     S = dev.S
     if hist_cap is None:
         hist_cap = _hist_cap(dev)
-    rows = cap + 4 * CHUNK
-    ocap = OUT_RESERVE + cap + CHUNK
+    ncap = cap
+    pcap = PAIR_HEADROOM * cap
+    prow = pcap + 4 * CHUNK
+    nrow = ncap + CHUNK + 1
+    ocap = OUT_RESERVE + pcap + CHUNK
+    ns32 = jnp.asarray(dev.ns, jnp.int32)
+    sid0 = jnp.arange(S, dtype=jnp.int32)
     return dict(
-        fr_lo=jnp.zeros((2, rows, S), jnp.int32),
-        fr_hi=jnp.zeros((2, rows, S), jnp.int32).at[0, 0].set(
-            jnp.asarray(dev.ns, jnp.int32)),
-        fr_rlo=jnp.zeros((2, rows, S), jnp.int32),
+        pr_lo=jnp.zeros((2, prow), jnp.int32),
+        pr_hi=jnp.zeros((2, prow), jnp.int32).at[0, :S].set(ns32),
+        pr_rlo=jnp.zeros((2, prow), jnp.int32),
+        pr_sid=jnp.zeros((2, prow), jnp.int32).at[0, :S].set(sid0),
+        pr_nid=jnp.zeros((2, prow), jnp.int32),
+        nb=jnp.zeros((2, nrow), jnp.int32).at[0, 1].set(S),
         parity=jnp.asarray(0, jnp.int32),
-        nvalid=jnp.asarray(1, jnp.int32),
+        npairs=jnp.asarray(S, jnp.int32),
+        nnodes=jnp.asarray(1, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
+        c_lo=jnp.zeros((prow, 4), jnp.int32),
+        c_hi=jnp.zeros((prow, 4), jnp.int32),
+        c_rlo=jnp.zeros((prow, 4), jnp.int32),
+        cum_f=jnp.zeros(prow + 1, jnp.int32),
+        cum_nln=jnp.zeros(prow + 1, jnp.int64),
+        cum_act=jnp.zeros((prow + 1, 4), jnp.int32),
+        nd_cid=jnp.zeros(4 * ncap + 4 * CHUNK, jnp.int32),
+        nd_out=jnp.zeros(ncap + CHUNK, bool),
         hist=jnp.zeros(hist_cap + 4 * CHUNK, jnp.int32),
         hist_len=jnp.asarray(0, jnp.int32),
         lvl_off=jnp.zeros(LVL_CAP, jnp.int32),
         nlev=jnp.asarray(0, jnp.int32),
-        out_freq=jnp.zeros((ocap, S), jnp.int32),
-        out_rlo=jnp.zeros((ocap, S), jnp.int32),
+        out_freq=jnp.zeros(ocap, jnp.int32),
+        out_rlo=jnp.zeros(ocap, jnp.int32),
+        out_sid=jnp.zeros(ocap, jnp.int32),
         out_row=jnp.zeros(ocap, jnp.int32),
         out_depth=jnp.zeros(ocap, jnp.int32),
         ocount=jnp.asarray(0, jnp.int32),
@@ -243,37 +268,50 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     )
 
 
-def _entropy_f32(freq, nactive, d):
-    """Gate-precision entropy (metaserver.cpp:356-389 in f32); final
-    emission re-checks in exact f64 on the host."""
-    import jax.numpy as jnp
-
-    f1 = freq.astype(jnp.float32) + 1.0
-    sumNlogN = jnp.sum((f1 * jnp.log(f1)) / np.float32(LOG2), axis=1)
-    sumN = (d + freq.sum(axis=1)).astype(jnp.float32)
-    return jnp.log(sumN) / np.float32(LOG2) - sumNlogN / sumN
+_NLN_FP = 20  # fixed-point fractional bits for the (f+1)log2(f+1) sums
 
 
 def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
                   prefix_codes, hist_cap, state):
-    """One trie level, processed in CHUNK-row slices with a DYNAMIC trip
-    count: compute scales with the live frontier width (state["nvalid"]),
-    not the capacity.  Each chunk fuses expansion, the output gates, and
-    stream compaction of outputs, history, and the next frontier (running
-    offsets + fixed-width dynamic_update_slice whose garbage tail is
-    overwritten by the next chunk's write).  Advancing a level flips the
-    frontier parity scalar; every array updates in place (no lax.cond —
-    a redo only freezes the scalar counters, since all buffer writes land
-    beyond the committed offsets and the redone level overwrites them)."""
+    """One trie level, SCATTER-FREE (TPU scatters lower to per-chunk
+    sorts): four chunked passes with DYNAMIC trip counts.
+
+    Invariant: the pair list is sorted by node id and each node's pairs
+    are contiguous (within a node: ascending sample id).  It is
+    maintained by numbering union children SYM-MAJOR — region A first,
+    then C, G, T — and having pass C append each chunk's surviving
+    children per symbol at that symbol's running region offset: within a
+    region, child ids ascend with parent node id and a child's pairs
+    come from one contiguous parent-pair run, so the concatenated
+    regions are again sorted + contiguous.
+
+      A) expand pairs: 2 fused-row ranks per pair -> child intervals
+         (scratch c_*); running prefix sums of freq / (f+1)log2(f+1)
+         (int64 fixed-point) / per-symbol child activity into cum_*;
+      B1) per node (boundary differences of cum_* at nb): count union
+         children and region pair totals -> sym_base / pr_base offsets;
+      B2) per node: output gates (metaserver.cpp:403-417; left-branching
+         deferred to drain), entropy stats, child numbering nd_cid,
+         per-region history entries, next level's nb;
+      C) per pair x symbol: compact surviving children to their region
+         slots; pairs of gated nodes append output rows.
+
+    Committing flips the pair-list parity and advances the scalar
+    counters; a redo (grow/histfull) freezes the scalars only — every
+    buffer write lands beyond the committed offsets, so the redone level
+    overwrites the same regions."""
     import jax.numpy as jnp
     from jax import lax
 
-    _, rows_cap, S = state["fr_lo"].shape
-    cap = rows_cap - 4 * CHUNK
+    _, prow = state["pr_lo"].shape
+    pcap = prow - 4 * CHUNK
+    ncap = state["nd_out"].shape[0] - CHUNK
     depth = state["depth"]
-    nvalid = state["nvalid"]
+    P = state["npairs"]
+    U = state["nnodes"]
     par = state["parity"]
-    nchunks = (nvalid + CHUNK - 1) // CHUNK
+    wpar = 1 - par
+    S_total = dev_C4.shape[0]
 
     # per-level symbol mask: enforced prefix, then maxdepth cutoff
     sym_mask = jnp.ones(4, dtype=bool)
@@ -284,96 +322,215 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
-    def chunk_step(i, carry):
-        (fr_lo, fr_hi, fr_rlo, hist, out_freq, out_rlo, out_row,
-         out_depth, child_off, oc, tp, emn, emx) = carry
+    arange_c = jnp.arange(CHUNK, dtype=jnp.int32)
+    arange4 = jnp.arange(4, dtype=jnp.int32)
+    npc = (P + CHUNK - 1) // CHUNK
+    nuc = (U + CHUNK - 1) // CHUNK
+
+    # ---- pass A: expand pairs, prefix-sum the per-pair statistics -----
+    def pass_a(i, carry):
+        (c_lo, c_hi, c_rlo, cum_f, cum_nln, cum_act, rf, rn, ra) = carry
         base = i * CHUNK
-        lo_c = lax.dynamic_slice(fr_lo, (par, base, 0), (1, CHUNK, S))[0]
-        hi_c = lax.dynamic_slice(fr_hi, (par, base, 0), (1, CHUNK, S))[0]
-        rlo_c = lax.dynamic_slice(fr_rlo, (par, base, 0), (1, CHUNK, S))[0]
-        valid_c = (base + jnp.arange(CHUNK, dtype=jnp.int32)) < nvalid
+        lo = lax.dynamic_slice(state["pr_lo"], (par, base), (1, CHUNK))[0]
+        hi = lax.dynamic_slice(state["pr_hi"], (par, base), (1, CHUNK))[0]
+        rlo = lax.dynamic_slice(state["pr_rlo"], (par, base), (1, CHUNK))[0]
+        sid = lax.dynamic_slice(state["pr_sid"], (par, base), (1, CHUNK))[0]
+        valid = (base + arange_c) < P
 
-        core = expand_core(dev_frows, dev_rrows, dev_soff, dev_C4,
-                           lo_c, hi_c, rlo_c, valid_c, sc.fmin,
-                           with_lc=False)
-        union_child = (core["child_counts"] > 0) & sym_mask[None, :] \
-            & valid_c[:, None]
-        nactive = core["nactive"]
-        numchildren = union_child.sum(axis=-1)
-        single_idx = jnp.argmax(union_child, axis=-1)
+        soff_p = dev_soff[sid]
+        C4_p = dev_C4[sid]
+        cum_lo = occ_cum(dev_frows, (lo >> LOG2_BLOCK) + soff_p,
+                         lo & (BLOCK - 1))
+        cum_hi = occ_cum(dev_frows, (hi >> LOG2_BLOCK) + soff_p,
+                         hi & (BLOCK - 1))
+        occ_lo, psum_lo = _occ_psum4(cum_lo, lo)
+        occ_hi, psum_hi = _occ_psum4(cum_hi, hi)
+        pa = valid & (hi > lo)
+        pa4 = pa[:, None]
+        clo = jnp.where(pa4, C4_p + occ_lo, 0)
+        chi = jnp.where(pa4, C4_p + occ_hi, 0)
+        crlo = jnp.where(pa4, rlo[:, None] + psum_hi - psum_lo, 0)
+        cact = pa4 & (chi - clo >= sc.fmin)
+
+        c_lo = lax.dynamic_update_slice(c_lo, clo, (base, 0))
+        c_hi = lax.dynamic_update_slice(c_hi, chi, (base, 0))
+        c_rlo = lax.dynamic_update_slice(c_rlo, crlo, (base, 0))
+
+        freq = jnp.where(pa, hi - lo, 0)
+        f1 = (freq + 1).astype(jnp.float32)
+        nln = jnp.where(
+            pa, jnp.round(f1 * jnp.log2(f1) * np.float32(1 << _NLN_FP))
+            .astype(jnp.int64), 0)
+        cum_f = lax.dynamic_update_slice(
+            cum_f, rf + jnp.cumsum(freq), (base + 1,))
+        cum_nln = lax.dynamic_update_slice(
+            cum_nln, rn + jnp.cumsum(nln), (base + 1,))
+        cum_act = lax.dynamic_update_slice(
+            cum_act, ra[None, :] + jnp.cumsum(cact.astype(jnp.int32),
+                                              axis=0), (base + 1, 0))
+        return (c_lo, c_hi, c_rlo, cum_f, cum_nln, cum_act,
+                cum_f[base + CHUNK], cum_nln[base + CHUNK],
+                cum_act[base + CHUNK])
+
+    (c_lo, c_hi, c_rlo, cum_f, cum_nln, cum_act, _, _, _) = lax.fori_loop(
+        0, npc, pass_a,
+        (state["c_lo"], state["c_hi"], state["c_rlo"], state["cum_f"],
+         state["cum_nln"], state["cum_act"], jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int64), jnp.zeros(4, jnp.int32)))
+
+    def node_stats(j):
+        """Boundary-difference statistics for node chunk j."""
+        base = j * CHUNK
+        nbs = lax.dynamic_slice(state["nb"], (par, base), (1, CHUNK + 1))[0]
+        a, b = nbs[:-1], nbs[1:]
+        validn = (base + arange_c) < U
+        cnt = cum_act[b] - cum_act[a]                       # (CHUNK, 4)
+        sumf = cum_f[b] - cum_f[a]
+        sumnln = ((cum_nln[b] - cum_nln[a]).astype(jnp.float32)
+                  * np.float32(2.0 ** -_NLN_FP))
+        nact = jnp.where(validn, b - a, 0)
+        exists = (cnt > 0) & sym_mask[None, :] & validn[:, None]
+        return validn, cnt, sumf, sumnln, nact, exists
+
+    # ---- pass B1: region sizes -> sym_base / pr_base ------------------
+    def pass_b1(j, carry):
+        exn, rgs = carry
+        validn, cnt, _, _, _, exists = node_stats(j)
+        exn = exn + exists.sum(axis=0, dtype=jnp.int32)
+        rgs = rgs + jnp.where(exists, cnt, 0).sum(axis=0, dtype=jnp.int32)
+        return exn, rgs
+
+    exn, rgs = lax.fori_loop(
+        0, nuc, pass_b1, (jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32)))
+    child_total = exn.sum()
+    pair_count = rgs.sum()
+    sym_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(exn)[:3]])
+    pr_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(rgs)[:3]])
+
+    # ---- pass B2: gates, child numbering, history, next nb ------------
+    def pass_b2(j, carry):
+        (nd_cid, nd_out, hist, nb_next, rankb, pairb, tp, emn, emx) = carry
+        base = j * CHUNK
+        validn, cnt, sumf, sumnln, nact, exists = node_stats(j)
+
+        numchildren = exists.sum(axis=-1)
+        single_idx = jnp.argmax(exists, axis=-1)
         single_full = (numchildren == 1) & (
-            jnp.take_along_axis(core["child_counts"], single_idx[..., None],
-                                axis=-1)[..., 0] == nactive)
-
-        # ---- output gates for this chunk's nodes (depth >= 1) ---------
-        freq = core["freq"]
-        active = freq > 0
-        present = (nactive > 0) & valid_c & (depth >= 1)
-        ent32 = _entropy_f32(freq, nactive, S)
+            jnp.take_along_axis(cnt, single_idx[..., None], axis=-1)[..., 0]
+            == nact)
+        sumN = (S_total + sumf).astype(jnp.float32)
+        ent32 = jnp.log(sumN) / np.float32(LOG2) - sumnln / sumN
+        present = validn & (nact > 0) & (depth >= 1)
         egate = jnp.where(
             sc.use_egate,
             (ent32 >= sc.emin - ENT_MARGIN) & (ent32 <= sc.emax + ENT_MARGIN),
             True)
         output = (present & (depth >= sc.mindepth)
-                  & (nactive >= sc.pmin)
-                  & ((sc.pmax == 0) | (nactive <= sc.pmax))
+                  & (nact >= sc.pmin)
+                  & ((sc.pmax == 0) | (nact <= sc.pmax))
                   & egate & ~single_full)
-        # NOTE: the left-branching gate (lc_agg) is applied at drain
-        # time on device for just these candidate rows (leftchar_codes
-        # over out_rlo/out_freq) — skipping it here removes the two
-        # reverse-index rank positions from the per-node hot loop
+        # the left-branching gate is applied at drain time on device for
+        # just these candidate nodes' pairs (leftchar_codes_pairs)
+        nd_out = lax.dynamic_update_slice(nd_out, output, (base,))
 
-        operm = jnp.argsort(jnp.logical_not(output), stable=True)
-        k_out = output.sum(dtype=jnp.int32)
-        out_freq = lax.dynamic_update_slice(out_freq, freq[operm], (oc, 0))
-        out_rlo = lax.dynamic_update_slice(out_rlo, rlo_c[operm], (oc, 0))
-        out_row = lax.dynamic_update_slice(
-            out_row, (base + jnp.arange(CHUNK, dtype=jnp.int32))[operm], (oc,))
-        out_depth = lax.dynamic_update_slice(
-            out_depth, jnp.full(CHUNK, depth, jnp.int32), (oc,))
-        oc = oc + k_out
-
-        stat_rows = present & ~((nactive == 1) & (sc.pmin > 1))
+        stat_rows = present & ~((nact == 1) & (sc.pmin > 1))
         emn = jnp.minimum(emn, jnp.where(stat_rows, ent32, np.inf).min())
         emx = jnp.maximum(emx, jnp.where(stat_rows, ent32, -np.inf).max())
         tp = tp + present.sum(dtype=jnp.int32)
 
-        # ---- compact this chunk's children ------------------------------
-        cv_flat = union_child.reshape(-1)                  # (CHUNK*4,)
-        cperm = jnp.argsort(jnp.logical_not(cv_flat), stable=True)
-        k_c = cv_flat.sum(dtype=jnp.int32)
-        parent_loc = (cperm // 4).astype(jnp.int32)
-        sym = (cperm % 4).astype(jnp.int32)
+        # sym-major child numbering + per-region history and nb entries
+        pos = rankb[None, :] + jnp.cumsum(exists.astype(jnp.int32),
+                                          axis=0) - 1   # (CHUNK, 4)
+        cid = jnp.where(exists, sym_base[None, :] + pos, -1)
+        nd_cid = lax.dynamic_update_slice(
+            nd_cid, cid.reshape(-1), (base * 4,))
+        pcnt = jnp.where(exists, cnt, 0)
+        ppos = pairb[None, :] + jnp.cumsum(pcnt, axis=0) - pcnt  # exclusive
+        nid4 = (base + arange_c)[:, None] * 4 + arange4[None, :]
+        for c in range(4):
+            permc = jnp.argsort(jnp.logical_not(exists[:, c]), stable=True)
+            woff = jnp.minimum(state["hist_len"] + sym_base[c] + rankb[c],
+                               jnp.int32(hist_cap))
+            hist = lax.dynamic_update_slice(hist, nid4[:, c][permc], (woff,))
+            nboff = jnp.minimum(sym_base[c] + rankb[c],
+                                jnp.int32(ncap))
+            nb_next = lax.dynamic_update_slice(
+                nb_next, (pr_base[c] + ppos[:, c])[permc][None],
+                (wpar, nboff))
+        return (nd_cid, nd_out, hist, nb_next,
+                rankb + exists.sum(axis=0, dtype=jnp.int32),
+                pairb + pcnt.sum(axis=0, dtype=jnp.int32), tp, emn, emx)
 
-        clo_f = core["clo"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
-        chi_f = core["chi"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
-        crlo_f = core["crlo"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
-        cact_f = core["cactive"].transpose(0, 2, 1).reshape(CHUNK * 4, S)
-        keep = cact_f[cperm]
-        woff = jnp.minimum(child_off, cap)  # clip on overflow (redone)
-        wpar = 1 - par
-        fr_lo = lax.dynamic_update_slice(
-            fr_lo, jnp.where(keep, clo_f[cperm], 0)[None], (wpar, woff, 0))
-        fr_hi = lax.dynamic_update_slice(
-            fr_hi, jnp.where(keep, chi_f[cperm], 0)[None], (wpar, woff, 0))
-        fr_rlo = lax.dynamic_update_slice(
-            fr_rlo, jnp.where(keep, crlo_f[cperm], 0)[None], (wpar, woff, 0))
-        hoff = jnp.minimum(state["hist_len"] + child_off, hist_cap)
-        hist = lax.dynamic_update_slice(
-            hist, (base + parent_loc) * 4 + sym, (hoff,))
-        return (fr_lo, fr_hi, fr_rlo, hist, out_freq, out_rlo, out_row,
-                out_depth, child_off + k_c, oc, tp, emn, emx)
+    (nd_cid, nd_out, hist, nb_next, _, _, total_paths, ent_min, ent_max) = \
+        lax.fori_loop(0, nuc, pass_b2,
+                      (state["nd_cid"], state["nd_out"], state["hist"],
+                       state["nb"], jnp.zeros(4, jnp.int32),
+                       jnp.zeros(4, jnp.int32), state["total_paths"],
+                       state["ent_min"], state["ent_max"]))
+    # sentinel: nb[child_total] = pair_count
+    nb_next = lax.dynamic_update_slice(
+        nb_next, pair_count[None, None],
+        (wpar, jnp.minimum(child_total, jnp.int32(ncap + CHUNK))))
 
-    carry = (state["fr_lo"], state["fr_hi"], state["fr_rlo"], state["hist"],
-             state["out_freq"], state["out_rlo"], state["out_row"],
-             state["out_depth"], jnp.asarray(0, jnp.int32), state["ocount"],
-             state["total_paths"], state["ent_min"], state["ent_max"])
-    (fr_lo, fr_hi, fr_rlo, hist, out_freq, out_rlo, out_row, out_depth,
-     child_count, oc, total_paths, ent_min, ent_max) = lax.fori_loop(
-        0, nchunks, chunk_step, carry)
+    # ---- pass C: compact child pairs + gated output pairs -------------
+    def pass_c(i, carry):
+        (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, out_freq, out_rlo, out_sid,
+         out_row, out_depth, ccar, oc) = carry
+        base = i * CHUNK
+        lo = lax.dynamic_slice(pr_lo, (par, base), (1, CHUNK))[0]
+        hi = lax.dynamic_slice(pr_hi, (par, base), (1, CHUNK))[0]
+        rlo = lax.dynamic_slice(pr_rlo, (par, base), (1, CHUNK))[0]
+        sid = lax.dynamic_slice(pr_sid, (par, base), (1, CHUNK))[0]
+        nid = lax.dynamic_slice(pr_nid, (par, base), (1, CHUNK))[0]
+        clo = lax.dynamic_slice(c_lo, (base, 0), (CHUNK, 4))
+        chi = lax.dynamic_slice(c_hi, (base, 0), (CHUNK, 4))
+        crlo = lax.dynamic_slice(c_rlo, (base, 0), (CHUNK, 4))
+        valid = (base + arange_c) < P
 
-    grow = child_count > cap
-    histfull = (state["hist_len"] + child_count > hist_cap) \
+        cid = nd_cid[jnp.minimum(nid[:, None] * 4 + arange4[None, :],
+                                 4 * ncap + 4 * CHUNK - 1)]
+        keep = valid[:, None] & (chi - clo >= jnp.maximum(sc.fmin, 1)) \
+            & (cid >= 0)
+        k4 = keep.sum(axis=0, dtype=jnp.int32)
+        for c in range(4):
+            permc = jnp.argsort(jnp.logical_not(keep[:, c]), stable=True)
+            woff = jnp.minimum(pr_base[c] + ccar[c], jnp.int32(pcap))
+
+            def put(buf, vals, permc=permc, woff=woff):
+                return lax.dynamic_update_slice(
+                    buf, vals[permc][None], (wpar, woff))
+
+            pr_lo = put(pr_lo, clo[:, c])
+            pr_hi = put(pr_hi, chi[:, c])
+            pr_rlo = put(pr_rlo, crlo[:, c])
+            pr_sid = put(pr_sid, sid)
+            pr_nid = put(pr_nid, cid[:, c])
+
+        # output pairs: every live pair of a gated node
+        oflag = valid & (hi > lo) & nd_out[jnp.minimum(nid, ncap + CHUNK - 1)]
+        operm = jnp.argsort(jnp.logical_not(oflag), stable=True)
+        k_o = oflag.sum(dtype=jnp.int32)
+        out_freq = lax.dynamic_update_slice(out_freq, (hi - lo)[operm], (oc,))
+        out_rlo = lax.dynamic_update_slice(out_rlo, rlo[operm], (oc,))
+        out_sid = lax.dynamic_update_slice(out_sid, sid[operm], (oc,))
+        out_row = lax.dynamic_update_slice(out_row, nid[operm], (oc,))
+        out_depth = lax.dynamic_update_slice(
+            out_depth, jnp.full(CHUNK, depth, jnp.int32), (oc,))
+        return (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, out_freq, out_rlo,
+                out_sid, out_row, out_depth, ccar + k4, oc + k_o)
+
+    (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, out_freq, out_rlo, out_sid,
+     out_row, out_depth, _, oc) = lax.fori_loop(
+        0, npc, pass_c,
+        (state["pr_lo"], state["pr_hi"], state["pr_rlo"], state["pr_sid"],
+         state["pr_nid"], state["out_freq"], state["out_rlo"],
+         state["out_sid"], state["out_row"], state["out_depth"],
+         jnp.zeros(4, jnp.int32), state["ocount"]))
+
+    grow = (child_total > ncap) | (pair_count > pcap)
+    histfull = (state["hist_len"] + child_total > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
     commit = ~(grow | histfull)
     flag = jnp.where(
@@ -381,8 +538,8 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         jnp.where(
             histfull, FLAG_HISTFULL,
             jnp.where(
-                child_count == 0, FLAG_DONE,
-                jnp.where((child_count <= sc.tail_width)
+                child_total == 0, FLAG_DONE,
+                jnp.where((child_total <= sc.tail_width)
                           & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
                           jnp.where(oc > sc.out_reserve, FLAG_DRAIN,
                                     FLAG_RUN))))).astype(jnp.int32)
@@ -391,20 +548,25 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         return jnp.where(commit, new, old)
 
     return dict(
-        fr_lo=fr_lo, fr_hi=fr_hi, fr_rlo=fr_rlo,
-        parity=keep_if(1 - par, par),
-        nvalid=keep_if(child_count, nvalid),
+        pr_lo=pr_lo, pr_hi=pr_hi, pr_rlo=pr_rlo, pr_sid=pr_sid,
+        pr_nid=pr_nid, nb=nb_next,
+        parity=keep_if(wpar, par),
+        npairs=keep_if(pair_count, P),
+        nnodes=keep_if(child_total, U),
         depth=keep_if(depth + 1, depth),
+        c_lo=c_lo, c_hi=c_hi, c_rlo=c_rlo,
+        cum_f=cum_f, cum_nln=cum_nln, cum_act=cum_act,
+        nd_cid=nd_cid, nd_out=nd_out,
         hist=hist,
-        hist_len=keep_if(state["hist_len"] + child_count,
+        hist_len=keep_if(state["hist_len"] + child_total,
                          state["hist_len"]),
         # always record this level's start offset at slot nlev: on a redo
         # nlev does not advance and the slot is simply overwritten
-        lvl_off=lax.dynamic_update_slice(
-            state["lvl_off"], state["hist_len"][None], (state["nlev"],)),
+        lvl_off=jnp.asarray(state["lvl_off"]).at[state["nlev"]].set(
+            state["hist_len"]),
         nlev=keep_if(state["nlev"] + 1, state["nlev"]),
-        out_freq=out_freq, out_rlo=out_rlo, out_row=out_row,
-        out_depth=out_depth,
+        out_freq=out_freq, out_rlo=out_rlo, out_sid=out_sid,
+        out_row=out_row, out_depth=out_depth,
         ocount=keep_if(oc, state["ocount"]),
         total_paths=keep_if(total_paths, state["total_paths"]),
         ent_min=keep_if(ent_min, state["ent_min"]),
@@ -464,7 +626,7 @@ def _jitted_decode(dcols: int):
 
 def _decode_rows(state, ph: PathHistory, seg_depth0: int,
                  rows: np.ndarray, depths: np.ndarray) -> list[bytes]:
-    """Paths for frontier `rows` at absolute `depths` (vectorized): the
+    """Paths for node `rows` at absolute `depths` (vectorized): the
     device walks each row to the current segment's base; PathHistory
     covers any earlier (pulled) segments and the checkpoint base."""
     import jax
@@ -520,18 +682,21 @@ def _pull_segment(ph: PathHistory, seg_depth0: int, state) -> None:
 
 
 @functools.cache
-def _jitted_lc():
+def _jitted_lc_pairs():
     import jax
 
-    return jax.jit(leftchar_codes)
+    def run(rrows, soff, sid, rlo, freq):
+        return leftchar_codes_pairs(rrows, soff[sid], rlo, freq)
+
+    return jax.jit(run)
 
 
 def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
            ph: PathHistory, seg_depth0: int, dev: DeviceIndexes) -> None:
-    """Pull output candidates, apply the deferred left-branching gate
-    (leftchar_codes on device for just these rows), re-gate the entropy
-    window in exact f64, decode paths on device, and append formatted
-    lines (ascending reader order)."""
+    """Pull output-candidate pairs, apply the deferred left-branching
+    gate (leftchar_codes_pairs on device for just these pairs), re-gate
+    the entropy window in exact f64 per node, decode node paths on
+    device, and append formatted lines (ascending reader order)."""
     import jax
     import jax.numpy as jnp
 
@@ -539,33 +704,66 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
     if n == 0:
         return
     npad = min(_next_pow2(n), state["out_rlo"].shape[0])
-    lc_dev = _jitted_lc()(dev.rrows, dev.soff,
-                          state["out_rlo"][:npad], state["out_freq"][:npad])
-    freq, rows, depths, lc = jax.device_get(
-        (state["out_freq"][:n], state["out_row"][:n],
+    lc_dev = _jitted_lc_pairs()(dev.rrows, dev.soff,
+                                state["out_sid"][:npad],
+                                state["out_rlo"][:npad],
+                                state["out_freq"][:npad])
+    freq, sid, rows, depths, lc = jax.device_get(
+        (state["out_freq"][:n], state["out_sid"][:n], state["out_row"][:n],
          state["out_depth"][:n], lc_dev[:n]))
     state["ocount"] = jnp.asarray(0, jnp.int32)
-    ent = node_entropy(freq.astype(np.int64), d)
+
+    # group pairs by (depth, node row) preserving first-seen order
+    key = depths.astype(np.int64) << 32 | rows.astype(np.int64)
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    order = np.argsort(first)                      # first-seen node order
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    g = rank[inv]                                  # pair -> group index
+    m = uniq.size
+    fmat = np.zeros((m, d), dtype=np.int64)
+    fmat[g, sid] = freq
+    lcmat = np.full((m, d), -1, dtype=np.int64)
+    lcmat[g, sid] = lc
+    gdep = depths[first[order]]
+    grow_ = rows[first[order]]
+
+    ent = node_entropy(fmat, d)
     if cfg.emax > 0:
         ok = (ent >= cfg.emin) & (ent <= cfg.emax)
     else:
-        ok = np.ones(n, dtype=bool)
-    active = freq > 0
+        ok = np.ones(m, dtype=bool)
+    active = fmat > 0
     # left-branching gate (metaserver.cpp:418-419): concrete-base
     # aggregate leftChar (same code on every active reader) is rejected
-    lc_min = np.where(active, lc, 99).min(axis=1)
-    lc_max = np.where(active, lc, -1).max(axis=1)
+    lc_min = np.where(active, lcmat, 99).min(axis=1)
+    lc_max = np.where(active, lcmat, -1).max(axis=1)
     lc_agg = np.where(lc_min == lc_max, lc_max, 1)  # 1 == LC_N
     ok &= lc_agg < 2
     keep = np.flatnonzero(ok)
-    paths = _decode_rows(state, ph, seg_depth0, rows[keep], depths[keep])
+    paths = _decode_rows(state, ph, seg_depth0, grow_[keep], gdep[keep])
     for j, i in enumerate(keep):
         act = np.flatnonzero(active[i])
         out.total_output += 1
         out.freq_histogram[act.size - 1] += 1
-        occs = [(int(r), int(freq[i, r])) for r in act]
+        occs = [(int(r), int(fmat[i, r])) for r in act]
         out.total_occs += len(occs)
         out.lines.append((paths[j], float(ent[i]), occs))
+
+
+def _pull_dense_frontier(state):
+    """Densify the live pair list to (nnodes, S) numpy interval arrays
+    (tail handoff and checkpoints use the dense layout)."""
+    import jax
+
+    n = int(state["nnodes"])
+    m = int(state["npairs"])
+    p = int(state["parity"])
+    lo, hi, rlo, sid, nid = jax.device_get(
+        (state["pr_lo"][p, :m], state["pr_hi"][p, :m],
+         state["pr_rlo"][p, :m], state["pr_sid"][p, :m],
+         state["pr_nid"][p, :m]))
+    return n, lo, hi, rlo, sid, nid
 
 
 def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
@@ -573,20 +771,20 @@ def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
     """FLAG_TAIL: pull the (narrow) frontier and finish on the host
     (engine_np.mine_from_level) — thousands of thin deep levels cost
     microseconds each there vs a full device step each here."""
-    import jax
-
     from .engine_np import _Level, mine_from_level
 
-    n = int(state["nvalid"])
     depth = int(state["depth"])
-    p = int(state["parity"])
-    lo, hi, rlo = jax.device_get(
-        (state["fr_lo"][p, :n], state["fr_hi"][p, :n],
-         state["fr_rlo"][p, :n]))
+    n, lo, hi, rlo, sid, nid = _pull_dense_frontier(state)
+    S = len(indexes)
+    lo_d = np.zeros((n, S), dtype=np.int64)
+    hi_d = np.zeros((n, S), dtype=np.int64)
+    rlo_d = np.zeros((n, S), dtype=np.int64)
+    lo_d[nid, sid] = lo
+    hi_d[nid, sid] = hi
+    rlo_d[nid, sid] = rlo
     paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
                          np.full(n, depth))
-    level = _Level(paths=paths, lo=lo.astype(np.int64),
-                   hi=hi.astype(np.int64), rlo=rlo.astype(np.int64))
+    level = _Level(paths=paths, lo=lo_d, hi=hi_d, rlo=rlo_d)
     if debug:
         t0 = time.perf_counter()
     mine_from_level(indexes, cfg, level, depth, out, prefix=prefix)
@@ -596,27 +794,28 @@ def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
               file=sys.stderr, flush=True)
 
 
-def _resize_state(state, cap: int):
-    """Rare safety path (frontier exceeded CAP_MAX): re-bucket the
-    frontier + output buffers on device."""
+def _resize_state(state, dev: DeviceIndexes, cap: int, hist_cap: int):
+    """Rare safety path (frontier exceeded CAP_MAX): re-bucket every
+    capacity-dependent buffer on device, preserving the live pair list
+    and the current history segment."""
     import jax.numpy as jnp
 
-    def pad_rows(a, rows, axis=0):
-        cur = a.shape[axis]
-        if rows == cur:
-            return a
-        if rows < cur:
-            return a.take(np.arange(rows), axis=axis)
-        pads = [(0, 0)] * a.ndim
-        pads[axis] = (0, rows - cur)
-        return jnp.pad(a, pads)
-
-    out = dict(state)
-    for k in ("fr_lo", "fr_hi", "fr_rlo"):
-        out[k] = pad_rows(state[k], cap + 4 * CHUNK, axis=1)
-    ocap = OUT_RESERVE + cap + CHUNK
-    for k in ("out_freq", "out_rlo", "out_row", "out_depth"):
-        out[k] = pad_rows(state[k], ocap)
+    fresh = _seed_episode(dev, cap, hist_cap)
+    out = dict(fresh)
+    for k in ("parity", "npairs", "nnodes", "depth", "hist_len", "nlev",
+              "ocount", "total_paths", "ent_min", "ent_max", "flag",
+              "lvl_off"):
+        out[k] = state[k]
+    for k in ("pr_lo", "pr_hi", "pr_rlo", "pr_sid", "pr_nid", "nb"):
+        src = state[k]
+        dst = fresh[k]
+        ncopy = min(src.shape[1], dst.shape[1])
+        out[k] = dst.at[:, :ncopy].set(src[:, :ncopy])
+    hn = min(state["hist"].shape[0], fresh["hist"].shape[0])
+    out["hist"] = fresh["hist"].at[:hn].set(state["hist"][:hn])
+    on = min(state["out_freq"].shape[0], fresh["out_freq"].shape[0])
+    for k in ("out_freq", "out_rlo", "out_sid", "out_row", "out_depth"):
+        out[k] = fresh[k].at[:on].set(state[k][:on])
     return out
 
 
@@ -636,9 +835,9 @@ def mine_device(
     smallest/largest-entropy diagnostics, which are f32-accurate for
     the device-emitted part.
 
-    `cap` is a floor; the actual fixed capacity is next_pow2(sum of text
-    lengths) clamped to CAP_MAX, which no frontier can exceed, so the
-    episode compiles once and runs without grow/resize exits.
+    `cap` is a floor; the actual fixed node capacity is next_pow2(sum of
+    text lengths) clamped to CAP_MAX, which no union level can exceed,
+    so the episode compiles once and runs without grow/resize exits.
 
     `checkpoint`: path to a snapshot written at every drain-type episode
     exit and resumed from automatically when the file exists
@@ -669,34 +868,52 @@ def mine_device(
                                                       prefix, dev.ns)
         cap = _auto_cap(dev, max(int(host_state["nvalid"]), cap))
         fresh = _seed_episode(dev, cap, hist_cap)
-        for k, v in host_state.items():
-            arr = jnp.asarray(v)
-            if arr.ndim and k in ("lo", "hi", "rlo"):
-                # checkpointed frontier loads into parity half 0
-                tgt = fresh["fr_" + k]
-                arr = arr[tuple(slice(0, t) for t in tgt.shape[1:])]
-                fresh["fr_" + k] = tgt.at[0, :arr.shape[0]].set(arr)
-                continue
-            fresh[k] = arr
+        # re-sparsify the dense checkpointed frontier into parity half 0
+        lo_d = np.asarray(host_state.pop("lo"))
+        hi_d = np.asarray(host_state.pop("hi"))
+        rlo_d = np.asarray(host_state.pop("rlo"))
+        nid, sid = np.nonzero(hi_d > lo_d)
+        k = nid.shape[0]
+        fresh["pr_lo"] = fresh["pr_lo"].at[0, :k].set(lo_d[nid, sid])
+        fresh["pr_hi"] = fresh["pr_hi"].at[0, :k].set(hi_d[nid, sid])
+        fresh["pr_rlo"] = fresh["pr_rlo"].at[0, :k].set(rlo_d[nid, sid])
+        fresh["pr_sid"] = fresh["pr_sid"].at[0, :k].set(sid.astype(np.int32))
+        fresh["pr_nid"] = fresh["pr_nid"].at[0, :k].set(nid.astype(np.int32))
+        fresh["npairs"] = jnp.asarray(k, jnp.int32)
+        n_nodes = int(host_state.pop("nvalid"))
+        fresh["nnodes"] = jnp.asarray(n_nodes, jnp.int32)
+        # node -> first-pair boundaries (np.nonzero is nid-major, so the
+        # pair list is sorted + contiguous as the episode requires)
+        nb_host = np.concatenate(
+            [[0], np.cumsum(np.bincount(nid, minlength=n_nodes))]
+        ).astype(np.int32)
+        fresh["nb"] = fresh["nb"].at[0, :n_nodes + 1].set(nb_host)
+        for key, v in host_state.items():
+            fresh[key] = jnp.asarray(v)
         fresh["parity"] = jnp.asarray(0, jnp.int32)
+        fresh["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
         state = fresh
-        state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
         seg_depth0 = int(state["depth"])
         ph = PathHistory(base_depth=seg_depth0, base_paths=base_paths)
         if debug:
             print(f"mine_device: resumed depth={seg_depth0} "
-                  f"nvalid={int(state['nvalid'])}", file=sys.stderr)
+                  f"nnodes={int(state['nnodes'])}", file=sys.stderr)
 
     def _save() -> None:
         if checkpoint is not None:
             from .checkpoint import save_checkpoint
 
-            n = int(state["nvalid"])
+            n, lo, hi, rlo, sid, nid = _pull_dense_frontier(state)
+            lo_d = np.zeros((n, d), dtype=np.int32)
+            hi_d = np.zeros((n, d), dtype=np.int32)
+            rlo_d = np.zeros((n, d), dtype=np.int32)
+            lo_d[nid, sid] = lo
+            hi_d[nid, sid] = hi
+            rlo_d[nid, sid] = rlo
             live_paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
                                       np.full(n, int(state["depth"])))
-            p = int(state["parity"])
-            view = dict(state, lo=state["fr_lo"][p], hi=state["fr_hi"][p],
-                        rlo=state["fr_rlo"][p])
+            view = dict(state, lo=lo_d, hi=hi_d, rlo=rlo_d,
+                        nvalid=state["nnodes"])
             save_checkpoint(checkpoint, view, out, cfg, prefix, dev.ns,
                             live_paths)
 
@@ -706,13 +923,14 @@ def mine_device(
         flag = int(state["flag"])
         if debug:
             print(f"mine_device: flag={flag} cap={cap} "
-                  f"depth={int(state['depth'])} nvalid={int(state['nvalid'])}"
+                  f"depth={int(state['depth'])} nnodes={int(state['nnodes'])}"
+                  f" npairs={int(state['npairs'])}"
                   f" ocount={int(state['ocount'])} "
                   f"t={time.perf_counter() - t0:.1f}s",
                   file=sys.stderr, flush=True)
         if flag == FLAG_GROW:
             cap *= GROWTH
-            state = _resize_state(state, cap)
+            state = _resize_state(state, dev, cap, hist_cap)
             state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
             continue
         if flag == FLAG_DONE:

@@ -69,10 +69,16 @@ def test_checkpoint_rejects_other_config(small_indexes, tmp_path):
     from dsm_tpu.mining.engine import DeviceIndexes
 
     dev = DeviceIndexes.build(small_indexes)
+    import numpy as np_
+
     state = __import__("dsm_tpu.mining.engine_device",
                        fromlist=["_seed_episode"])._seed_episode(dev, 4096)
-    state = dict(state, lo=state["fr_lo"][0], hi=state["fr_hi"][0],
-                 rlo=state["fr_rlo"][0])
+    n, S = 1, dev.S
+    lo = np_.zeros((n, S), dtype=np_.int32)
+    hi = np_.zeros((n, S), dtype=np_.int32)
+    hi[0] = dev.ns
+    state = dict(state, lo=lo, hi=hi, rlo=np_.zeros((n, S), np_.int32),
+                 nvalid=state["nnodes"])
     out = mine_np(small_indexes, MiningConfig(fmin=2, emax=1.2))
     cfg = MiningConfig(fmin=2, emax=1.2)
     ckpt_mod.save_checkpoint(ck, state, out, cfg, b"", dev.ns, [b""])
