@@ -214,10 +214,10 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     `parity` selects the live half.  nb [2, NCAP + slack] maps node id ->
     first-pair index (one extra sentinel entry = npairs).  cum_* are the
     per-level running prefix sums over pairs from which pass B reads
-    every node statistic as a boundary difference (cum_nln is int64
-    FIXED-POINT, 2^-20 units: integer prefix sums cancel exactly, where
-    a float32 prefix would lose the per-node difference in a large
-    running total).  c_* is the pass-A -> pass-C per-pair child scratch;
+    every node statistic as a boundary difference (cum_nln is 3x int32
+    FIXED-POINT 16-bit windows, 2^-_NLN_FP units — see _nln_windows: integer
+    prefix sums cancel exactly, where a float32 prefix would lose the
+    per-node difference in a large running total).  c_* is the pass-A -> pass-C per-pair child scratch;
     nd_cid/nd_out are pass-B -> pass-C per-node tables; hist/lvl_off are
     the device-resident parent-pointer history of the current segment."""
     import jax.numpy as jnp
@@ -247,7 +247,7 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
         c_hi=jnp.zeros((prow, 4), jnp.int32),
         c_rlo=jnp.zeros((prow, 4), jnp.int32),
         cum_f=jnp.zeros(prow + 1, jnp.int32),
-        cum_nln=jnp.zeros(prow + 1, jnp.int64),
+        cum_nln=jnp.zeros((prow + 1, 3), jnp.int32),
         cum_act=jnp.zeros((prow + 1, 4), jnp.int32),
         nd_cid=jnp.zeros(4 * ncap + 4 * CHUNK, jnp.int32),
         nd_out=jnp.zeros(ncap + CHUNK, bool),
@@ -268,7 +268,45 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     )
 
 
-_NLN_FP = 20  # fixed-point fractional bits for the (f+1)log2(f+1) sums
+_NLN_FP = 18  # fixed-point fractional bits for the (f+1)log2(f+1) sums
+
+
+def _nln_windows(term):
+    """Split v = trunc(term * 2^_NLN_FP) (a conceptual 55-bit integer; term =
+    (f+1)log2(f+1) in float32, f < 2^31) into three int32 streams:
+    v's 16-bit windows w0 = v[0:16], w1 = v[16:32] and the top w2 =
+    v >> 32.  Prefix sums of each stream wrap int32, but per-node
+    boundary DIFFERENCES are exact (a node has <= S pairs, so each true
+    window sum is < S * 2^23 << 2^31 for S <= 256), which is all the
+    entropy gate reads — no int64 anywhere (JAX x64 stays off; TPUs do
+    int32; an int64 request here would silently truncate and overflow).
+    Quantization is <= 2^-_NLN_FP per term: far inside ENT_MARGIN."""
+    import jax.numpy as jnp
+
+    mant, expo = jnp.frexp(term)                 # term = mant * 2^expo
+    m = (mant * np.float32(1 << 24)).astype(jnp.int32)   # [2^23, 2^24)
+    s = (expo - (24 - _NLN_FP)).astype(jnp.int32)        # v = m * 2^s
+    nz = term > 0
+
+    def window(k):
+        t = s - 16 * k
+        pos = ((m & 0xFFFF) << jnp.clip(t, 0, 31)) & 0xFFFF
+        neg = (m >> jnp.clip(-t, 0, 31)) & 0xFFFF
+        w = jnp.where(t >= 16, 0, jnp.where(t >= 0, pos, neg))
+        return jnp.where(nz, w, 0)
+
+    w2 = jnp.where(nz, m >> jnp.clip(32 - s, 0, 31), 0)
+    return jnp.stack([window(0), window(1), w2], axis=-1)   # (..., 3)
+
+
+def _nln_value(d3):
+    """Reassemble float32 sums from (..., 3) int32 window differences."""
+    import jax.numpy as jnp
+
+    f = d3.astype(jnp.float32)
+    return ((f[..., 0] + f[..., 1] * np.float32(1 << 16)
+             + f[..., 2] * np.float32(2.0 ** 32))
+            * np.float32(2.0 ** -_NLN_FP))
 
 
 def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
@@ -358,13 +396,11 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
 
         freq = jnp.where(pa, hi - lo, 0)
         f1 = (freq + 1).astype(jnp.float32)
-        nln = jnp.where(
-            pa, jnp.round(f1 * jnp.log2(f1) * np.float32(1 << _NLN_FP))
-            .astype(jnp.int64), 0)
+        nln = _nln_windows(jnp.where(pa, f1 * jnp.log2(f1), 0.0))
         cum_f = lax.dynamic_update_slice(
             cum_f, rf + jnp.cumsum(freq), (base + 1,))
         cum_nln = lax.dynamic_update_slice(
-            cum_nln, rn + jnp.cumsum(nln), (base + 1,))
+            cum_nln, rn[None, :] + jnp.cumsum(nln, axis=0), (base + 1, 0))
         cum_act = lax.dynamic_update_slice(
             cum_act, ra[None, :] + jnp.cumsum(cact.astype(jnp.int32),
                                               axis=0), (base + 1, 0))
@@ -376,7 +412,7 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         0, npc, pass_a,
         (state["c_lo"], state["c_hi"], state["c_rlo"], state["cum_f"],
          state["cum_nln"], state["cum_act"], jnp.asarray(0, jnp.int32),
-         jnp.asarray(0, jnp.int64), jnp.zeros(4, jnp.int32)))
+         jnp.zeros(3, jnp.int32), jnp.zeros(4, jnp.int32)))
 
     def node_stats(j):
         """Boundary-difference statistics for node chunk j."""
@@ -386,8 +422,7 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         validn = (base + arange_c) < U
         cnt = cum_act[b] - cum_act[a]                       # (CHUNK, 4)
         sumf = cum_f[b] - cum_f[a]
-        sumnln = ((cum_nln[b] - cum_nln[a]).astype(jnp.float32)
-                  * np.float32(2.0 ** -_NLN_FP))
+        sumnln = _nln_value(cum_nln[b] - cum_nln[a])
         nact = jnp.where(validn, b - a, 0)
         exists = (cnt > 0) & sym_mask[None, :] & validn[:, None]
         return validn, cnt, sumf, sumnln, nact, exists
@@ -409,9 +444,10 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
     pr_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                jnp.cumsum(rgs)[:3]])
 
-    # ---- pass B2: gates, child numbering, history, next nb ------------
+    # ---- pass B2: gates, child numbering, entropy stats ----------------
+    # (writes here are chunk-disjoint slices: no compaction tails)
     def pass_b2(j, carry):
-        (nd_cid, nd_out, hist, nb_next, rankb, pairb, tp, emn, emx) = carry
+        (nd_cid, nd_out, rankb, tp, emn, emx) = carry
         base = j * CHUNK
         validn, cnt, sumf, sumnln, nact, exists = node_stats(j)
 
@@ -440,74 +476,71 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         emx = jnp.maximum(emx, jnp.where(stat_rows, ent32, -np.inf).max())
         tp = tp + present.sum(dtype=jnp.int32)
 
-        # sym-major child numbering + per-region history and nb entries
+        # sym-major child numbering
         pos = rankb[None, :] + jnp.cumsum(exists.astype(jnp.int32),
                                           axis=0) - 1   # (CHUNK, 4)
         cid = jnp.where(exists, sym_base[None, :] + pos, -1)
         nd_cid = lax.dynamic_update_slice(
             nd_cid, cid.reshape(-1), (base * 4,))
-        pcnt = jnp.where(exists, cnt, 0)
-        ppos = pairb[None, :] + jnp.cumsum(pcnt, axis=0) - pcnt  # exclusive
-        nid4 = (base + arange_c)[:, None] * 4 + arange4[None, :]
-        for c in range(4):
-            permc = jnp.argsort(jnp.logical_not(exists[:, c]), stable=True)
-            woff = jnp.minimum(state["hist_len"] + sym_base[c] + rankb[c],
-                               jnp.int32(hist_cap))
-            hist = lax.dynamic_update_slice(hist, nid4[:, c][permc], (woff,))
-            nboff = jnp.minimum(sym_base[c] + rankb[c],
-                                jnp.int32(ncap))
-            nb_next = lax.dynamic_update_slice(
-                nb_next, (pr_base[c] + ppos[:, c])[permc][None],
-                (wpar, nboff))
-        return (nd_cid, nd_out, hist, nb_next,
-                rankb + exists.sum(axis=0, dtype=jnp.int32),
-                pairb + pcnt.sum(axis=0, dtype=jnp.int32), tp, emn, emx)
+        return (nd_cid, nd_out,
+                rankb + exists.sum(axis=0, dtype=jnp.int32), tp, emn, emx)
 
-    (nd_cid, nd_out, hist, nb_next, _, _, total_paths, ent_min, ent_max) = \
+    (nd_cid, nd_out, _, total_paths, ent_min, ent_max) = \
         lax.fori_loop(0, nuc, pass_b2,
-                      (state["nd_cid"], state["nd_out"], state["hist"],
-                       state["nb"], jnp.zeros(4, jnp.int32),
+                      (state["nd_cid"], state["nd_out"],
                        jnp.zeros(4, jnp.int32), state["total_paths"],
                        state["ent_min"], state["ent_max"]))
+
+    # ---- pass B3: per-region history and next-level nb -----------------
+    # REGION-MAJOR: compacted writes pad to a full CHUNK, so a chunk's
+    # garbage tail can spill past this region's kept entries into the
+    # next region's slots.  Iterating region-by-region (all chunks of
+    # region A, then C, ...) guarantees every spilled tail is overwritten
+    # by a later region's writes; the last region's tail lands in the
+    # +4*CHUNK slack.  (Chunk-major order here corrupts the history and
+    # node boundaries whenever a level spans multiple chunks.)
+    hist = state["hist"]
+    nb_next = state["nb"]
+    for c in range(4):
+        def pass_b3(j, carry, c=c):
+            hist, nb_next, rank_c, pair_c = carry
+            base = j * CHUNK
+            _, cnt, _, _, _, exists = node_stats(j)
+            exc = exists[:, c]
+            pcnt = jnp.where(exc, cnt[:, c], 0)
+            ppos = pair_c + jnp.cumsum(pcnt) - pcnt          # exclusive
+            nid4 = (base + arange_c) * 4 + c
+            permc = jnp.argsort(jnp.logical_not(exc), stable=True)
+            woff = jnp.minimum(state["hist_len"] + sym_base[c] + rank_c,
+                               jnp.int32(hist_cap))
+            hist = lax.dynamic_update_slice(hist, nid4[permc], (woff,))
+            nboff = jnp.minimum(sym_base[c] + rank_c, jnp.int32(ncap))
+            nb_next = lax.dynamic_update_slice(
+                nb_next, (pr_base[c] + ppos)[permc][None], (wpar, nboff))
+            return (hist, nb_next, rank_c + exc.sum(dtype=jnp.int32),
+                    pair_c + pcnt.sum(dtype=jnp.int32))
+
+        hist, nb_next, _, _ = lax.fori_loop(
+            0, nuc, pass_b3,
+            (hist, nb_next, jnp.asarray(0, jnp.int32),
+             jnp.asarray(0, jnp.int32)))
     # sentinel: nb[child_total] = pair_count
     nb_next = lax.dynamic_update_slice(
         nb_next, pair_count[None, None],
         (wpar, jnp.minimum(child_total, jnp.int32(ncap + CHUNK))))
 
-    # ---- pass C: compact child pairs + gated output pairs -------------
-    def pass_c(i, carry):
-        (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, out_freq, out_rlo, out_sid,
-         out_row, out_depth, ccar, oc) = carry
+    # ---- pass C1: gated output pairs (single append stream: a chunk's
+    # garbage tail is overwritten by the next chunk's write; the final
+    # tail sits beyond ocount and is never read) ------------------------
+    def pass_c1(i, carry):
+        (out_freq, out_rlo, out_sid, out_row, out_depth, oc) = carry
         base = i * CHUNK
-        lo = lax.dynamic_slice(pr_lo, (par, base), (1, CHUNK))[0]
-        hi = lax.dynamic_slice(pr_hi, (par, base), (1, CHUNK))[0]
-        rlo = lax.dynamic_slice(pr_rlo, (par, base), (1, CHUNK))[0]
-        sid = lax.dynamic_slice(pr_sid, (par, base), (1, CHUNK))[0]
-        nid = lax.dynamic_slice(pr_nid, (par, base), (1, CHUNK))[0]
-        clo = lax.dynamic_slice(c_lo, (base, 0), (CHUNK, 4))
-        chi = lax.dynamic_slice(c_hi, (base, 0), (CHUNK, 4))
-        crlo = lax.dynamic_slice(c_rlo, (base, 0), (CHUNK, 4))
+        lo = lax.dynamic_slice(state["pr_lo"], (par, base), (1, CHUNK))[0]
+        hi = lax.dynamic_slice(state["pr_hi"], (par, base), (1, CHUNK))[0]
+        rlo = lax.dynamic_slice(state["pr_rlo"], (par, base), (1, CHUNK))[0]
+        sid = lax.dynamic_slice(state["pr_sid"], (par, base), (1, CHUNK))[0]
+        nid = lax.dynamic_slice(state["pr_nid"], (par, base), (1, CHUNK))[0]
         valid = (base + arange_c) < P
-
-        cid = nd_cid[jnp.minimum(nid[:, None] * 4 + arange4[None, :],
-                                 4 * ncap + 4 * CHUNK - 1)]
-        keep = valid[:, None] & (chi - clo >= jnp.maximum(sc.fmin, 1)) \
-            & (cid >= 0)
-        k4 = keep.sum(axis=0, dtype=jnp.int32)
-        for c in range(4):
-            permc = jnp.argsort(jnp.logical_not(keep[:, c]), stable=True)
-            woff = jnp.minimum(pr_base[c] + ccar[c], jnp.int32(pcap))
-
-            def put(buf, vals, permc=permc, woff=woff):
-                return lax.dynamic_update_slice(
-                    buf, vals[permc][None], (wpar, woff))
-
-            pr_lo = put(pr_lo, clo[:, c])
-            pr_hi = put(pr_hi, chi[:, c])
-            pr_rlo = put(pr_rlo, crlo[:, c])
-            pr_sid = put(pr_sid, sid)
-            pr_nid = put(pr_nid, cid[:, c])
-
         # output pairs: every live pair of a gated node
         oflag = valid & (hi > lo) & nd_out[jnp.minimum(nid, ncap + CHUNK - 1)]
         operm = jnp.argsort(jnp.logical_not(oflag), stable=True)
@@ -518,16 +551,47 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         out_row = lax.dynamic_update_slice(out_row, nid[operm], (oc,))
         out_depth = lax.dynamic_update_slice(
             out_depth, jnp.full(CHUNK, depth, jnp.int32), (oc,))
-        return (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, out_freq, out_rlo,
-                out_sid, out_row, out_depth, ccar + k4, oc + k_o)
+        return (out_freq, out_rlo, out_sid, out_row, out_depth, oc + k_o)
 
-    (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, out_freq, out_rlo, out_sid,
-     out_row, out_depth, _, oc) = lax.fori_loop(
-        0, npc, pass_c,
-        (state["pr_lo"], state["pr_hi"], state["pr_rlo"], state["pr_sid"],
-         state["pr_nid"], state["out_freq"], state["out_rlo"],
-         state["out_sid"], state["out_row"], state["out_depth"],
-         jnp.zeros(4, jnp.int32), state["ocount"]))
+    (out_freq, out_rlo, out_sid, out_row, out_depth, oc) = lax.fori_loop(
+        0, npc, pass_c1,
+        (state["out_freq"], state["out_rlo"], state["out_sid"],
+         state["out_row"], state["out_depth"], state["ocount"]))
+
+    # ---- pass C2: compact child pairs into their sym-major regions.
+    # REGION-MAJOR for the same reason as pass B3: compacted full-CHUNK
+    # writes spill garbage tails past the region's kept pairs, and only
+    # the later regions' own writes (and the final +4*CHUNK slack) may
+    # legally absorb them. ----------------------------------------------
+    pr_lo, pr_hi, pr_rlo = state["pr_lo"], state["pr_hi"], state["pr_rlo"]
+    pr_sid, pr_nid = state["pr_sid"], state["pr_nid"]
+    for c in range(4):
+        def pass_c2(i, carry, c=c):
+            (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, ccar) = carry
+            base = i * CHUNK
+            sid = lax.dynamic_slice(pr_sid, (par, base), (1, CHUNK))[0]
+            nid = lax.dynamic_slice(pr_nid, (par, base), (1, CHUNK))[0]
+            clo = lax.dynamic_slice(c_lo, (base, c), (CHUNK, 1))[:, 0]
+            chi = lax.dynamic_slice(c_hi, (base, c), (CHUNK, 1))[:, 0]
+            crlo = lax.dynamic_slice(c_rlo, (base, c), (CHUNK, 1))[:, 0]
+            valid = (base + arange_c) < P
+            cid = nd_cid[jnp.minimum(nid * 4 + c, 4 * ncap + 4 * CHUNK - 1)]
+            keep = valid & (chi - clo >= jnp.maximum(sc.fmin, 1)) & (cid >= 0)
+            k = keep.sum(dtype=jnp.int32)
+            permc = jnp.argsort(jnp.logical_not(keep), stable=True)
+            woff = jnp.minimum(pr_base[c] + ccar, jnp.int32(pcap))
+
+            def put(buf, vals, permc=permc, woff=woff):
+                return lax.dynamic_update_slice(
+                    buf, vals[permc][None], (wpar, woff))
+
+            return (put(pr_lo, clo), put(pr_hi, chi), put(pr_rlo, crlo),
+                    put(pr_sid, sid), put(pr_nid, cid), ccar + k)
+
+        (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, _) = lax.fori_loop(
+            0, npc, pass_c2,
+            (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid,
+             jnp.asarray(0, jnp.int32)))
 
     grow = (child_total > ncap) | (pair_count > pcap)
     histfull = (state["hist_len"] + child_total > hist_cap) \

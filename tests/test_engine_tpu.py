@@ -116,5 +116,5 @@ def test_engine_full_depth_small(small_indexes):
         assert got.total_occs == want.total_occs
         # entropy-range *diagnostics* are tracked in f32 on device
         # (engine_device module doc); output lines above are exact f64
-        assert abs(got.smallest_entropy - want.smallest_entropy) < 1e-6
-        assert abs(got.largest_entropy - want.largest_entropy) < 1e-6
+        assert abs(got.smallest_entropy - want.smallest_entropy) < 5e-6
+        assert abs(got.largest_entropy - want.largest_entropy) < 5e-6
