@@ -137,7 +137,8 @@ def cmd_serve(args) -> int:
                        emin=args.emin, emax=args.emax,
                        mindepth=args.mindepth)
     serve(args.port, names, cfg, verbose=args.verbose, debug=args.debug,
-          topfreq=args.topfreq, toptimes=args.toptimes)
+          topfreq=args.topfreq, toptimes=args.toptimes,
+          outputall=args.outputall)
     return 0
 
 
@@ -202,6 +203,17 @@ def cmd_launch(args) -> int:
         samples=samples, indexes=[os.path.abspath(p) for p in args.indexes],
         tmpdir=args.tmpdir, outdir=args.outdir, base_port=args.base_port,
         hash_depth=args.hash_depth, emax=args.emax, fmin=args.fmin)
+    if args.mode == "config":
+        import socket
+
+        from .launch import prefix_hashes, write_discovery
+
+        os.makedirs(args.tmpdir, exist_ok=True)
+        host = socket.gethostname()
+        paths = [write_discovery(args.tmpdir, host, args.base_port + i, h)
+                 for i, h in enumerate(prefix_hashes(args.hash_depth))]
+        print("\n".join(paths))
+        return 0
     if args.mode == "slurm":
         samplelist = os.path.join(args.tmpdir, "samples.txt")
         os.makedirs(args.tmpdir, exist_ok=True)
@@ -350,7 +362,10 @@ def build_parser() -> argparse.ArgumentParser:
         "launch", help="orchestrate a server/client fleet "
                        "(wrapper-SLURM equivalent)")
     ln.add_argument("indexes", nargs="+")
-    ln.add_argument("--mode", choices=["local", "slurm"], default="local")
+    ln.add_argument("--mode", choices=["local", "slurm", "config"],
+                    default="local",
+                    help="config: only write the discovery files for "
+                         "externally managed processes")
     ln.add_argument("--tmpdir", default="dsm_tmp")
     ln.add_argument("--outdir", default="dsm_out")
     ln.add_argument("--base-port", type=_int_min(1024, "--base-port"),

@@ -10,28 +10,34 @@ becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
   * the frontier is a SPARSE pair list, not a dense (node, sample)
     matrix: measured union tries keep only ~1.3 of d samples active per
     node (deep nodes are sample-specific), so a dense row wastes ~75%
-    of its rank gathers on empty intervals.  Each live pair holds
-    (lo, hi, rlo, sample, node) — the bidirectional intervals plus its
-    sample id and its node's row in the current level;
-  * each level runs four chunked passes with DYNAMIC trip counts, so
-    compute scales with the live pair/node counts, not capacity — and
-    the whole level is SCATTER-FREE (XLA lowers TPU scatters through a
-    per-chunk sort; every reduction here is a running prefix sum read
-    back as boundary differences, and every compaction is a stable
-    argsort-to-front + one contiguous slice write).  The pair list is
+    of its rank gathers on empty intervals.  Each live pair is one row
+    of a packed (PROW, 8) int32 matrix holding (lo, hi, rlo, sample,
+    node) — the bidirectional intervals plus its sample id and its
+    node's row in the current level.  Rows, not columns: TPU gathers
+    run at full bandwidth on wide rows (~350M rows/s) but crawl on
+    scalar 1-D gathers (~130M elem/s), so every gather in the episode
+    pulls a packed row;
+  * each level is ONE full-width vectorized pass at a power-of-2
+    BUCKET size chosen per level by `lax.switch` from the live
+    pair/node counts — compute scales with next_pow2(live), there are
+    no per-level host round-trips, and nothing is chunked or
+    serialized.  All per-node statistics are boundary differences of
+    running prefix sums (packed as (B+1, 8) rows, gathered twice per
+    node); every compaction is a rank/select over a packed bitmask
+    (ops/compact.py) followed by one row gather — there is no sort
+    and no large scatter anywhere in the loop.  The pair list is
     kept sorted by node id with each node's pairs contiguous — the
     TPU-native form of the reference's d-stream lazy trie merge
     (metaserver.cpp:269-486), where "streams meet at a node" becomes
-    "pairs of a node are adjacent".  See _episode_body for the passes
-    and the ordering invariant;
+    "pairs of a node are adjacent";
   * capacity is FIXED per run (next_pow2 of the total text length,
     clamped) so the episode compiles exactly once; pair capacity gets
     2x headroom and a (rare) overflow still grows via FLAG_GROW;
-  * the pair list is double-buffered [2, PCAP]: levels read half p and
-    write half 1-p and committing flips the parity scalar, so every
-    buffer updates in place (no lax.cond: a redo only freezes the
-    scalar counters — all writes land beyond the committed offsets and
-    the redone level overwrites them);
+  * the pair list is double-buffered [2, PROW, 8]: levels read half p
+    and write half 1-p at offset 0 and committing flips the parity
+    scalar (no lax.cond: a redo only freezes the scalar counters — all
+    writes land at offset 0 of the write half / beyond the committed
+    offsets, and the redone level overwrites them);
   * NO path strings are materialized on device AND the packed
     parent-pointer history is never bulk-pulled: it stays
     device-resident, and the few paths the host needs (gated outputs,
@@ -74,27 +80,34 @@ import numpy as np
 
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
+from ..ops.compact import compact_kidx
 from ..ops.rank import BLOCK, LOG2_BLOCK, occ_cum
 from .config import MiningConfig
 from .engine import DeviceIndexes, _occ_psum4, leftchar_codes_pairs
 from .engine_np import LOG2, MinedOutput, node_entropy
 
-CHUNK = 8192          # pass work granularity (pairs / nodes per slice)
-DEV_MIN_CAP = CHUNK
+LB_MIN = 13           # smallest level bucket: 2^13 = 8192
+DEV_MIN_CAP = 1 << LB_MIN
 CAP_MAX = 1 << 22     # node-capacity clamp; beyond this FLAG_GROW kicks in
-PAIR_HEADROOM = 2     # PCAP = PAIR_HEADROOM * NCAP (avg active samples per
+PAIR_HEADROOM = 2     # PROW = PAIR_HEADROOM * NCAP (avg active samples per
 #                       node is ~1.3 on real metagenomes; overflow grows)
 GROWTH = 4            # capacity growth factor on (rare) overflow
 OUT_RESERVE = 1 << 15  # drained-output buffer target size (pair rows)
 LVL_CAP = 1 << 13      # per-segment level-offset slots
 ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
 DECODE_K = 4096        # rows per on-device path-decode dispatch
+MAX_SAMPLES = 512      # _nln_windows int32 bound (see _NLN_FP derivation)
 (FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_HISTFULL,
  FLAG_TAIL) = range(6)
 
+# packed pair-row columns ((PROW, 8) int32)
+PC_LO, PC_HI, PC_RLO, PC_SID, PC_NID = range(5)
+# packed output-row columns ((ocap, 8) int32)
+OC_FREQ, OC_RLO, OC_SID, OC_ROW, OC_DEPTH = range(5)
+
 # Hand the frontier to the host numpy wavefront once it is this narrow
 # and past this depth: a TPU while-loop iteration costs ~the same for 2
-# live rows as for a full chunk, and deep tries (long repeats) have
+# live rows as for a full bucket, and deep tries (long repeats) have
 # thousands of near-empty levels — the reference's followOneBranch fast
 # lane (EnumerateQuery.cpp:105-149) solves the same problem recursively.
 TAIL_WIDTH = 768
@@ -204,62 +217,54 @@ class _Scalars:
                 self.tail_width, self.out_reserve)
 
 
+def _sample_meta(dev: DeviceIndexes):
+    """(S, 8) int32 per-sample rows: [soff, C4(A,C,G,T), 0, 0, 0] — one
+    row gather per pair replaces separate scalar soff/C4 lookups."""
+    import jax.numpy as jnp
+
+    meta = jnp.zeros((dev.S, 8), jnp.int32)
+    meta = meta.at[:, 0].set(jnp.asarray(dev.soff, jnp.int32))
+    meta = meta.at[:, 1:5].set(jnp.asarray(dev.C4, jnp.int32))
+    return meta
+
 
 def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     """Fresh episode state.
 
-    pr_* [2, PCAP + slack] is the double-buffered sparse pair list
-    (lo/hi/rlo intervals + sample id + node id), kept GLOBALLY SORTED by
-    node id with each node's pairs contiguous (see _episode_body);
-    `parity` selects the live half.  nb [2, NCAP + slack] maps node id ->
-    first-pair index (one extra sentinel entry = npairs).  cum_* are the
-    per-level running prefix sums over pairs from which pass B reads
-    every node statistic as a boundary difference (cum_nln is 3x int32
-    FIXED-POINT 16-bit windows, 2^-_NLN_FP units — see _nln_windows: integer
-    prefix sums cancel exactly, where a float32 prefix would lose the
-    per-node difference in a large running total).  c_* is the pass-A -> pass-C per-pair child scratch;
-    nd_cid/nd_out are pass-B -> pass-C per-node tables; hist/lvl_off are
-    the device-resident parent-pointer history of the current segment."""
+    pr [2, PROW, 8] is the double-buffered packed sparse pair list
+    (columns PC_*: lo/hi/rlo intervals + sample id + node id), kept
+    GLOBALLY SORTED by node id with each node's pairs contiguous (see
+    _level_at_bucket); `parity` selects the live half.  nb [2, NBROW]
+    maps node id -> first-pair index (one extra sentinel entry =
+    npairs).  hist/lvl_off are the device-resident parent-pointer
+    history of the current segment; out [(ocap, 8)] collects gated
+    output-candidate pairs (columns OC_*) until a drain exit."""
     import jax.numpy as jnp
 
     S = dev.S
     if hist_cap is None:
         hist_cap = _hist_cap(dev)
     ncap = cap
-    pcap = PAIR_HEADROOM * cap
-    prow = pcap + 4 * CHUNK
-    nrow = ncap + CHUNK + 1
-    ocap = OUT_RESERVE + pcap + CHUNK
+    prow = PAIR_HEADROOM * cap
+    nbrow = prow + 2
+    ocap = OUT_RESERVE + prow + 1
     ns32 = jnp.asarray(dev.ns, jnp.int32)
     sid0 = jnp.arange(S, dtype=jnp.int32)
+    pr = jnp.zeros((2, prow, 8), jnp.int32)
+    pr = pr.at[0, :S, PC_HI].set(ns32)
+    pr = pr.at[0, :S, PC_SID].set(sid0)
     return dict(
-        pr_lo=jnp.zeros((2, prow), jnp.int32),
-        pr_hi=jnp.zeros((2, prow), jnp.int32).at[0, :S].set(ns32),
-        pr_rlo=jnp.zeros((2, prow), jnp.int32),
-        pr_sid=jnp.zeros((2, prow), jnp.int32).at[0, :S].set(sid0),
-        pr_nid=jnp.zeros((2, prow), jnp.int32),
-        nb=jnp.zeros((2, nrow), jnp.int32).at[0, 1].set(S),
+        pr=pr,
+        nb=jnp.zeros((2, nbrow), jnp.int32).at[0, 1].set(S),
         parity=jnp.asarray(0, jnp.int32),
         npairs=jnp.asarray(S, jnp.int32),
         nnodes=jnp.asarray(1, jnp.int32),
         depth=jnp.asarray(0, jnp.int32),
-        c_lo=jnp.zeros((prow, 4), jnp.int32),
-        c_hi=jnp.zeros((prow, 4), jnp.int32),
-        c_rlo=jnp.zeros((prow, 4), jnp.int32),
-        cum_f=jnp.zeros(prow + 1, jnp.int32),
-        cum_nln=jnp.zeros((prow + 1, 3), jnp.int32),
-        cum_act=jnp.zeros((prow + 1, 4), jnp.int32),
-        nd_cid=jnp.zeros(4 * ncap + 4 * CHUNK, jnp.int32),
-        nd_out=jnp.zeros(ncap + CHUNK, bool),
-        hist=jnp.zeros(hist_cap + 4 * CHUNK, jnp.int32),
+        hist=jnp.zeros(hist_cap + ncap, jnp.int32),
         hist_len=jnp.asarray(0, jnp.int32),
         lvl_off=jnp.zeros(LVL_CAP, jnp.int32),
         nlev=jnp.asarray(0, jnp.int32),
-        out_freq=jnp.zeros(ocap, jnp.int32),
-        out_rlo=jnp.zeros(ocap, jnp.int32),
-        out_sid=jnp.zeros(ocap, jnp.int32),
-        out_row=jnp.zeros(ocap, jnp.int32),
-        out_depth=jnp.zeros(ocap, jnp.int32),
+        out=jnp.zeros((ocap, 8), jnp.int32),
         ocount=jnp.asarray(0, jnp.int32),
         total_paths=jnp.asarray(0, jnp.int32),
         ent_min=jnp.asarray(np.inf, jnp.float32),
@@ -268,18 +273,20 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     )
 
 
-_NLN_FP = 18  # fixed-point fractional bits for the (f+1)log2(f+1) sums
+_NLN_FP = 17  # fixed-point fractional bits for the (f+1)log2(f+1) sums
 
 
 def _nln_windows(term):
-    """Split v = trunc(term * 2^_NLN_FP) (a conceptual 55-bit integer; term =
+    """Split v = trunc(term * 2^_NLN_FP) (a conceptual 54-bit integer; term =
     (f+1)log2(f+1) in float32, f < 2^31) into three int32 streams:
     v's 16-bit windows w0 = v[0:16], w1 = v[16:32] and the top w2 =
     v >> 32.  Prefix sums of each stream wrap int32, but per-node
-    boundary DIFFERENCES are exact (a node has <= S pairs, so each true
-    window sum is < S * 2^23 << 2^31 for S <= 256), which is all the
-    entropy gate reads — no int64 anywhere (JAX x64 stays off; TPUs do
-    int32; an int64 request here would silently truncate and overflow).
+    boundary DIFFERENCES are exact: a node has <= S pairs, so the true
+    low-window sums are < S * 2^16 and the top-window sum is
+    < S * 2^(54-32) = S * 2^22 — all < 2^31 for S <= MAX_SAMPLES = 512
+    (mine_device enforces the bound) — which is all the entropy gate
+    reads; no int64 anywhere (JAX x64 stays off; TPUs do int32; an
+    int64 request here would silently truncate and overflow).
     Quantization is <= 2^-_NLN_FP per term: far inside ENT_MARGIN."""
     import jax.numpy as jnp
 
@@ -309,47 +316,52 @@ def _nln_value(d3):
             * np.float32(2.0 ** -_NLN_FP))
 
 
-def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
-                  prefix_codes, hist_cap, state):
-    """One trie level, SCATTER-FREE (TPU scatters lower to per-chunk
-    sorts): four chunked passes with DYNAMIC trip counts.
+def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
+                     sc: _Scalars, prefix_codes, hist_cap, state):
+    """One trie level at static bucket width B = 2^LB >= max(P, U+1):
+    a single full-width vectorized pass (no chunking, no sorts).
 
     Invariant: the pair list is sorted by node id and each node's pairs
     are contiguous (within a node: ascending sample id).  It is
-    maintained by numbering union children SYM-MAJOR — region A first,
-    then C, G, T — and having pass C append each chunk's surviving
-    children per symbol at that symbol's running region offset: within a
-    region, child ids ascend with parent node id and a child's pairs
-    come from one contiguous parent-pair run, so the concatenated
-    regions are again sorted + contiguous.
+    maintained by numbering union children SYM-MAJOR — all A-children
+    first (by parent node id), then C, G, T — which is exactly the
+    c-major flatten order of the (B, 4) child tables, so ONE global
+    cumsum over the flattened keep mask assigns every surviving child
+    pair its slot and ONE rank/select compaction (ops/compact.py)
+    gathers them into the next level's packed rows.
 
-      A) expand pairs: 2 fused-row ranks per pair -> child intervals
-         (scratch c_*); running prefix sums of freq / (f+1)log2(f+1)
-         (int64 fixed-point) / per-symbol child activity into cum_*;
-      B1) per node (boundary differences of cum_* at nb): count union
-         children and region pair totals -> sym_base / pr_base offsets;
-      B2) per node: output gates (metaserver.cpp:403-417; left-branching
-         deferred to drain), entropy stats, child numbering nd_cid,
-         per-region history entries, next level's nb;
-      C) per pair x symbol: compact surviving children to their region
-         slots; pairs of gated nodes append output rows.
+    Stages (all width B or 4B):
+      expand   — 2 fused-row ranks per pair -> child intervals (B, 4);
+      stats    — per-pair freq / (f+1)log2(f+1) windows / child-activity
+                 prefix-summed as (B+1, 8) rows; per-node statistics are
+                 two row gathers at the nb boundaries (metaserver's
+                 merge, .cpp:356-389);
+      gates    — output gates (metaserver.cpp:403-417; left-branching
+                 deferred to drain), entropy stats, sym-major child
+                 numbering, per-child history entries and next-level nb;
+      emit     — rank/select-compact gated pairs into the out rows;
+      children — rank/select-compact surviving child pairs into the
+                 write half of the pair list.
 
     Committing flips the pair-list parity and advances the scalar
     counters; a redo (grow/histfull) freezes the scalars only — every
-    buffer write lands beyond the committed offsets, so the redone level
-    overwrites the same regions."""
+    buffer write lands at offset 0 of the write half or beyond the
+    committed offsets, so the redone level overwrites the same regions.
+    """
     import jax.numpy as jnp
     from jax import lax
 
-    _, prow = state["pr_lo"].shape
-    pcap = prow - 4 * CHUNK
-    ncap = state["nd_out"].shape[0] - CHUNK
+    B = 1 << LB
+    _, prow, _ = state["pr"].shape
+    ncap = (state["hist"].shape[0] - hist_cap)
+    nbrow = state["nb"].shape[1]
+    ocap = state["out"].shape[0]
     depth = state["depth"]
     P = state["npairs"]
     U = state["nnodes"]
     par = state["parity"]
     wpar = 1 - par
-    S_total = dev_C4.shape[0]
+    S_total = meta_rows.shape[0]
 
     # per-level symbol mask: enforced prefix, then maxdepth cutoff
     sym_mask = jnp.ones(4, dtype=bool)
@@ -360,240 +372,136 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
-    arange_c = jnp.arange(CHUNK, dtype=jnp.int32)
-    arange4 = jnp.arange(4, dtype=jnp.int32)
-    npc = (P + CHUNK - 1) // CHUNK
-    nuc = (U + CHUNK - 1) // CHUNK
+    iota_b = jnp.arange(B, dtype=jnp.int32)
 
-    # ---- pass A: expand pairs, prefix-sum the per-pair statistics -----
-    def pass_a(i, carry):
-        (c_lo, c_hi, c_rlo, cum_f, cum_nln, cum_act, rf, rn, ra) = carry
-        base = i * CHUNK
-        lo = lax.dynamic_slice(state["pr_lo"], (par, base), (1, CHUNK))[0]
-        hi = lax.dynamic_slice(state["pr_hi"], (par, base), (1, CHUNK))[0]
-        rlo = lax.dynamic_slice(state["pr_rlo"], (par, base), (1, CHUNK))[0]
-        sid = lax.dynamic_slice(state["pr_sid"], (par, base), (1, CHUNK))[0]
-        valid = (base + arange_c) < P
+    # ---- expand: 2 fused-row ranks per pair -> child intervals --------
+    prs = lax.dynamic_slice(state["pr"], (par, 0, 0), (1, B, 8))[0]
+    lo, hi, rlo = prs[:, PC_LO], prs[:, PC_HI], prs[:, PC_RLO]
+    sid, nid = prs[:, PC_SID], prs[:, PC_NID]
+    validp = iota_b < P
 
-        soff_p = dev_soff[sid]
-        C4_p = dev_C4[sid]
-        cum_lo = occ_cum(dev_frows, (lo >> LOG2_BLOCK) + soff_p,
-                         lo & (BLOCK - 1))
-        cum_hi = occ_cum(dev_frows, (hi >> LOG2_BLOCK) + soff_p,
-                         hi & (BLOCK - 1))
-        occ_lo, psum_lo = _occ_psum4(cum_lo, lo)
-        occ_hi, psum_hi = _occ_psum4(cum_hi, hi)
-        pa = valid & (hi > lo)
-        pa4 = pa[:, None]
-        clo = jnp.where(pa4, C4_p + occ_lo, 0)
-        chi = jnp.where(pa4, C4_p + occ_hi, 0)
-        crlo = jnp.where(pa4, rlo[:, None] + psum_hi - psum_lo, 0)
-        cact = pa4 & (chi - clo >= sc.fmin)
+    mrow = jnp.take(meta_rows, sid, axis=0)          # (B, 8)
+    soff_p = mrow[:, 0]
+    C4_p = mrow[:, 1:5]
+    cum_lo = occ_cum(dev_frows, (lo >> LOG2_BLOCK) + soff_p,
+                     lo & (BLOCK - 1))
+    cum_hi = occ_cum(dev_frows, (hi >> LOG2_BLOCK) + soff_p,
+                     hi & (BLOCK - 1))
+    occ_lo, psum_lo = _occ_psum4(cum_lo, lo)
+    occ_hi, psum_hi = _occ_psum4(cum_hi, hi)
+    pa = validp & (hi > lo)
+    pa4 = pa[:, None]
+    clo = jnp.where(pa4, C4_p + occ_lo, 0)           # (B, 4)
+    chi = jnp.where(pa4, C4_p + occ_hi, 0)
+    crlo = jnp.where(pa4, rlo[:, None] + psum_hi - psum_lo, 0)
+    cact = pa4 & (chi - clo >= sc.fmin)
 
-        c_lo = lax.dynamic_update_slice(c_lo, clo, (base, 0))
-        c_hi = lax.dynamic_update_slice(c_hi, chi, (base, 0))
-        c_rlo = lax.dynamic_update_slice(c_rlo, crlo, (base, 0))
+    # ---- stats: prefix-sum rows + per-node boundary differences -------
+    freq = jnp.where(pa, hi - lo, 0)
+    f1 = (freq + 1).astype(jnp.float32)
+    nlnw = _nln_windows(jnp.where(pa, f1 * jnp.log2(f1), 0.0))   # (B, 3)
+    stat = jnp.concatenate(
+        [freq[:, None], nlnw, cact.astype(jnp.int32)], axis=1)   # (B, 8)
+    cum = jnp.concatenate(
+        [jnp.zeros((1, 8), jnp.int32), jnp.cumsum(stat, axis=0)])  # (B+1, 8)
 
-        freq = jnp.where(pa, hi - lo, 0)
-        f1 = (freq + 1).astype(jnp.float32)
-        nln = _nln_windows(jnp.where(pa, f1 * jnp.log2(f1), 0.0))
-        cum_f = lax.dynamic_update_slice(
-            cum_f, rf + jnp.cumsum(freq), (base + 1,))
-        cum_nln = lax.dynamic_update_slice(
-            cum_nln, rn[None, :] + jnp.cumsum(nln, axis=0), (base + 1, 0))
-        cum_act = lax.dynamic_update_slice(
-            cum_act, ra[None, :] + jnp.cumsum(cact.astype(jnp.int32),
-                                              axis=0), (base + 1, 0))
-        return (c_lo, c_hi, c_rlo, cum_f, cum_nln, cum_act,
-                cum_f[base + CHUNK], cum_nln[base + CHUNK],
-                cum_act[base + CHUNK])
+    nbs = lax.dynamic_slice(state["nb"], (par, 0), (1, B + 1))[0]
+    validn = iota_b < U
+    a = jnp.where(validn, nbs[:B], 0)
+    b = jnp.where(validn, nbs[1:], 0)
+    d8 = jnp.take(cum, b, axis=0) - jnp.take(cum, a, axis=0)     # (B, 8)
+    sumf = d8[:, 0]
+    sumnln = _nln_value(d8[:, 1:4])
+    cnt = d8[:, 4:8]                                             # (B, 4)
+    nact = jnp.where(validn, b - a, 0)
+    exists = (cnt > 0) & sym_mask[None, :] & validn[:, None]
 
-    (c_lo, c_hi, c_rlo, cum_f, cum_nln, cum_act, _, _, _) = lax.fori_loop(
-        0, npc, pass_a,
-        (state["c_lo"], state["c_hi"], state["c_rlo"], state["cum_f"],
-         state["cum_nln"], state["cum_act"], jnp.asarray(0, jnp.int32),
-         jnp.zeros(3, jnp.int32), jnp.zeros(4, jnp.int32)))
-
-    def node_stats(j):
-        """Boundary-difference statistics for node chunk j."""
-        base = j * CHUNK
-        nbs = lax.dynamic_slice(state["nb"], (par, base), (1, CHUNK + 1))[0]
-        a, b = nbs[:-1], nbs[1:]
-        validn = (base + arange_c) < U
-        cnt = cum_act[b] - cum_act[a]                       # (CHUNK, 4)
-        sumf = cum_f[b] - cum_f[a]
-        sumnln = _nln_value(cum_nln[b] - cum_nln[a])
-        nact = jnp.where(validn, b - a, 0)
-        exists = (cnt > 0) & sym_mask[None, :] & validn[:, None]
-        return validn, cnt, sumf, sumnln, nact, exists
-
-    # ---- pass B1: region sizes -> sym_base / pr_base ------------------
-    def pass_b1(j, carry):
-        exn, rgs = carry
-        validn, cnt, _, _, _, exists = node_stats(j)
-        exn = exn + exists.sum(axis=0, dtype=jnp.int32)
-        rgs = rgs + jnp.where(exists, cnt, 0).sum(axis=0, dtype=jnp.int32)
-        return exn, rgs
-
-    exn, rgs = lax.fori_loop(
-        0, nuc, pass_b1, (jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32)))
+    exn = exists.sum(axis=0, dtype=jnp.int32)                    # (4,)
+    rgs = jnp.where(exists, cnt, 0).sum(axis=0, dtype=jnp.int32)
     child_total = exn.sum()
     pair_count = rgs.sum()
-    sym_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                jnp.cumsum(exn)[:3]])
-    pr_base = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(rgs)[:3]])
 
-    # ---- pass B2: gates, child numbering, entropy stats ----------------
-    # (writes here are chunk-disjoint slices: no compaction tails)
-    def pass_b2(j, carry):
-        (nd_cid, nd_out, rankb, tp, emn, emx) = carry
-        base = j * CHUNK
-        validn, cnt, sumf, sumnln, nact, exists = node_stats(j)
+    # ---- gates (metaserver.cpp:403-417; left-branching at drain) ------
+    numchildren = exists.sum(axis=-1)
+    single_idx = jnp.argmax(exists, axis=-1)
+    single_full = (numchildren == 1) & (
+        jnp.take_along_axis(cnt, single_idx[..., None], axis=-1)[..., 0]
+        == nact)
+    sumN = (S_total + sumf).astype(jnp.float32)
+    ent32 = jnp.log(sumN) / np.float32(LOG2) - sumnln / sumN
+    present = validn & (nact > 0) & (depth >= 1)
+    egate = jnp.where(
+        sc.use_egate,
+        (ent32 >= sc.emin - ENT_MARGIN) & (ent32 <= sc.emax + ENT_MARGIN),
+        True)
+    nd_out = (present & (depth >= sc.mindepth)
+              & (nact >= sc.pmin)
+              & ((sc.pmax == 0) | (nact <= sc.pmax))
+              & egate & ~single_full)
 
-        numchildren = exists.sum(axis=-1)
-        single_idx = jnp.argmax(exists, axis=-1)
-        single_full = (numchildren == 1) & (
-            jnp.take_along_axis(cnt, single_idx[..., None], axis=-1)[..., 0]
-            == nact)
-        sumN = (S_total + sumf).astype(jnp.float32)
-        ent32 = jnp.log(sumN) / np.float32(LOG2) - sumnln / sumN
-        present = validn & (nact > 0) & (depth >= 1)
-        egate = jnp.where(
-            sc.use_egate,
-            (ent32 >= sc.emin - ENT_MARGIN) & (ent32 <= sc.emax + ENT_MARGIN),
-            True)
-        output = (present & (depth >= sc.mindepth)
-                  & (nact >= sc.pmin)
-                  & ((sc.pmax == 0) | (nact <= sc.pmax))
-                  & egate & ~single_full)
-        # the left-branching gate is applied at drain time on device for
-        # just these candidate nodes' pairs (leftchar_codes_pairs)
-        nd_out = lax.dynamic_update_slice(nd_out, output, (base,))
+    stat_rows = present & ~((nact == 1) & (sc.pmin > 1))
+    ent_min = jnp.minimum(state["ent_min"],
+                          jnp.where(stat_rows, ent32, np.inf).min())
+    ent_max = jnp.maximum(state["ent_max"],
+                          jnp.where(stat_rows, ent32, -np.inf).max())
+    total_paths = state["total_paths"] + present.sum(dtype=jnp.int32)
 
-        stat_rows = present & ~((nact == 1) & (sc.pmin > 1))
-        emn = jnp.minimum(emn, jnp.where(stat_rows, ent32, np.inf).min())
-        emx = jnp.maximum(emx, jnp.where(stat_rows, ent32, -np.inf).max())
-        tp = tp + present.sum(dtype=jnp.int32)
+    # ---- child numbering + history + next-level nb (c-major == the
+    # sym-major child-id order) -----------------------------------------
+    E = exists.T.reshape(4 * B)                        # flat i = c*B + u
+    cid_flat = jnp.where(E, jnp.cumsum(E.astype(jnp.int32)) - 1, -1)
+    cid_mat = cid_flat.reshape(4, B).T                 # (B, 4): node, sym
+    iota4b = jnp.arange(4 * B, dtype=jnp.int32)
+    hv = (iota4b & (B - 1)) * 4 + (iota4b >> LB)       # parent_row*4 + sym
+    pcnt = jnp.where(exists, cnt, 0).T.reshape(4 * B)
+    nbv = jnp.cumsum(pcnt) - pcnt                      # child's first pair
 
-        # sym-major child numbering
-        pos = rankb[None, :] + jnp.cumsum(exists.astype(jnp.int32),
-                                          axis=0) - 1   # (CHUNK, 4)
-        cid = jnp.where(exists, sym_base[None, :] + pos, -1)
-        nd_cid = lax.dynamic_update_slice(
-            nd_cid, cid.reshape(-1), (base * 4,))
-        return (nd_cid, nd_out,
-                rankb + exists.sum(axis=0, dtype=jnp.int32), tp, emn, emx)
-
-    (nd_cid, nd_out, _, total_paths, ent_min, ent_max) = \
-        lax.fori_loop(0, nuc, pass_b2,
-                      (state["nd_cid"], state["nd_out"],
-                       jnp.zeros(4, jnp.int32), state["total_paths"],
-                       state["ent_min"], state["ent_max"]))
-
-    # ---- pass B3: per-region history and next-level nb -----------------
-    # REGION-MAJOR: compacted writes pad to a full CHUNK, so a chunk's
-    # garbage tail can spill past this region's kept entries into the
-    # next region's slots.  Iterating region-by-region (all chunks of
-    # region A, then C, ...) guarantees every spilled tail is overwritten
-    # by a later region's writes; the last region's tail lands in the
-    # +4*CHUNK slack.  (Chunk-major order here corrupts the history and
-    # node boundaries whenever a level spans multiple chunks.)
-    hist = state["hist"]
-    nb_next = state["nb"]
-    for c in range(4):
-        def pass_b3(j, carry, c=c):
-            hist, nb_next, rank_c, pair_c = carry
-            base = j * CHUNK
-            _, cnt, _, _, _, exists = node_stats(j)
-            exc = exists[:, c]
-            pcnt = jnp.where(exc, cnt[:, c], 0)
-            ppos = pair_c + jnp.cumsum(pcnt) - pcnt          # exclusive
-            nid4 = (base + arange_c) * 4 + c
-            permc = jnp.argsort(jnp.logical_not(exc), stable=True)
-            woff = jnp.minimum(state["hist_len"] + sym_base[c] + rank_c,
-                               jnp.int32(hist_cap))
-            hist = lax.dynamic_update_slice(hist, nid4[permc], (woff,))
-            nboff = jnp.minimum(sym_base[c] + rank_c, jnp.int32(ncap))
-            nb_next = lax.dynamic_update_slice(
-                nb_next, (pr_base[c] + ppos)[permc][None], (wpar, nboff))
-            return (hist, nb_next, rank_c + exc.sum(dtype=jnp.int32),
-                    pair_c + pcnt.sum(dtype=jnp.int32))
-
-        hist, nb_next, _, _ = lax.fori_loop(
-            0, nuc, pass_b3,
-            (hist, nb_next, jnp.asarray(0, jnp.int32),
-             jnp.asarray(0, jnp.int32)))
-    # sentinel: nb[child_total] = pair_count
+    wn = min(4 * B, ncap)
+    kidx_n, _ = compact_kidx(E, wn)
+    rows_n = jnp.stack([hv, nbv], axis=1)              # (4B, 2)
+    g_n = jnp.take(rows_n, kidx_n, axis=0)             # (wn, 2)
+    woff = jnp.minimum(state["hist_len"], jnp.int32(hist_cap))
+    hist = lax.dynamic_update_slice(state["hist"], g_n[:, 0], (woff,))
+    nb_next = lax.dynamic_update_slice(state["nb"], g_n[:, 1][None],
+                                       (wpar, 0))
     nb_next = lax.dynamic_update_slice(
         nb_next, pair_count[None, None],
-        (wpar, jnp.minimum(child_total, jnp.int32(ncap + CHUNK))))
+        (wpar, jnp.minimum(child_total, jnp.int32(nbrow - 1))))
 
-    # ---- pass C1: gated output pairs (single append stream: a chunk's
-    # garbage tail is overwritten by the next chunk's write; the final
-    # tail sits beyond ocount and is never read) ------------------------
-    def pass_c1(i, carry):
-        (out_freq, out_rlo, out_sid, out_row, out_depth, oc) = carry
-        base = i * CHUNK
-        lo = lax.dynamic_slice(state["pr_lo"], (par, base), (1, CHUNK))[0]
-        hi = lax.dynamic_slice(state["pr_hi"], (par, base), (1, CHUNK))[0]
-        rlo = lax.dynamic_slice(state["pr_rlo"], (par, base), (1, CHUNK))[0]
-        sid = lax.dynamic_slice(state["pr_sid"], (par, base), (1, CHUNK))[0]
-        nid = lax.dynamic_slice(state["pr_nid"], (par, base), (1, CHUNK))[0]
-        valid = (base + arange_c) < P
-        # output pairs: every live pair of a gated node
-        oflag = valid & (hi > lo) & nd_out[jnp.minimum(nid, ncap + CHUNK - 1)]
-        operm = jnp.argsort(jnp.logical_not(oflag), stable=True)
-        k_o = oflag.sum(dtype=jnp.int32)
-        out_freq = lax.dynamic_update_slice(out_freq, (hi - lo)[operm], (oc,))
-        out_rlo = lax.dynamic_update_slice(out_rlo, rlo[operm], (oc,))
-        out_sid = lax.dynamic_update_slice(out_sid, sid[operm], (oc,))
-        out_row = lax.dynamic_update_slice(out_row, nid[operm], (oc,))
-        out_depth = lax.dynamic_update_slice(
-            out_depth, jnp.full(CHUNK, depth, jnp.int32), (oc,))
-        return (out_freq, out_rlo, out_sid, out_row, out_depth, oc + k_o)
+    # ---- emit: compact gated pairs into the out rows -------------------
+    # (a level's garbage tail beyond its kept count is overwritten by the
+    # next level's write; the final tail sits beyond ocount, never read)
+    noderow = jnp.concatenate(
+        [cid_mat, nd_out[:, None].astype(jnp.int32),
+         jnp.zeros((B, 3), jnp.int32)], axis=1)        # (B, 8)
+    prow_nd = jnp.take(noderow, jnp.minimum(nid, B - 1), axis=0)  # (B, 8)
+    oflag = validp & (hi > lo) & (prow_nd[:, 4] > 0)
+    orows = jnp.concatenate(
+        [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
+         jnp.full((B, 1), depth, jnp.int32), jnp.zeros((B, 3), jnp.int32)],
+        axis=1)                                        # (B, 8)
+    kidx_o, k_o = compact_kidx(oflag, B)
+    out = lax.dynamic_update_slice(
+        state["out"], jnp.take(orows, kidx_o, axis=0),
+        (jnp.minimum(state["ocount"], jnp.int32(ocap - B)), 0))
+    oc = state["ocount"] + k_o
 
-    (out_freq, out_rlo, out_sid, out_row, out_depth, oc) = lax.fori_loop(
-        0, npc, pass_c1,
-        (state["out_freq"], state["out_rlo"], state["out_sid"],
-         state["out_row"], state["out_depth"], state["ocount"]))
+    # ---- children: compact surviving pairs into the write half ---------
+    K = (cact & sym_mask[None, :]).T.reshape(4 * B)    # c-major keep
+    childrows = jnp.stack(
+        [clo.T, chi.T, crlo.T,
+         jnp.broadcast_to(sid[None, :], (4, B)),
+         prow_nd[:, :4].T,
+         jnp.zeros((4, B), jnp.int32),
+         jnp.zeros((4, B), jnp.int32),
+         jnp.zeros((4, B), jnp.int32)], axis=2).reshape(4 * B, 8)
+    wp = min(4 * B, prow)
+    kidx_p, _ = compact_kidx(K, wp)
+    newpr = jnp.take(childrows, kidx_p, axis=0)        # (wp, 8)
+    pr = lax.dynamic_update_slice(state["pr"], newpr[None], (wpar, 0, 0))
 
-    # ---- pass C2: compact child pairs into their sym-major regions.
-    # REGION-MAJOR for the same reason as pass B3: compacted full-CHUNK
-    # writes spill garbage tails past the region's kept pairs, and only
-    # the later regions' own writes (and the final +4*CHUNK slack) may
-    # legally absorb them. ----------------------------------------------
-    pr_lo, pr_hi, pr_rlo = state["pr_lo"], state["pr_hi"], state["pr_rlo"]
-    pr_sid, pr_nid = state["pr_sid"], state["pr_nid"]
-    for c in range(4):
-        def pass_c2(i, carry, c=c):
-            (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, ccar) = carry
-            base = i * CHUNK
-            sid = lax.dynamic_slice(pr_sid, (par, base), (1, CHUNK))[0]
-            nid = lax.dynamic_slice(pr_nid, (par, base), (1, CHUNK))[0]
-            clo = lax.dynamic_slice(c_lo, (base, c), (CHUNK, 1))[:, 0]
-            chi = lax.dynamic_slice(c_hi, (base, c), (CHUNK, 1))[:, 0]
-            crlo = lax.dynamic_slice(c_rlo, (base, c), (CHUNK, 1))[:, 0]
-            valid = (base + arange_c) < P
-            cid = nd_cid[jnp.minimum(nid * 4 + c, 4 * ncap + 4 * CHUNK - 1)]
-            keep = valid & (chi - clo >= jnp.maximum(sc.fmin, 1)) & (cid >= 0)
-            k = keep.sum(dtype=jnp.int32)
-            permc = jnp.argsort(jnp.logical_not(keep), stable=True)
-            woff = jnp.minimum(pr_base[c] + ccar, jnp.int32(pcap))
-
-            def put(buf, vals, permc=permc, woff=woff):
-                return lax.dynamic_update_slice(
-                    buf, vals[permc][None], (wpar, woff))
-
-            return (put(pr_lo, clo), put(pr_hi, chi), put(pr_rlo, crlo),
-                    put(pr_sid, sid), put(pr_nid, cid), ccar + k)
-
-        (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid, _) = lax.fori_loop(
-            0, npc, pass_c2,
-            (pr_lo, pr_hi, pr_rlo, pr_sid, pr_nid,
-             jnp.asarray(0, jnp.int32)))
-
-    grow = (child_total > ncap) | (pair_count > pcap)
+    # ---- flags + commit -------------------------------------------------
+    grow = (child_total > ncap) | (pair_count > prow)
     histfull = (state["hist_len"] + child_total > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
     commit = ~(grow | histfull)
@@ -612,15 +520,11 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         return jnp.where(commit, new, old)
 
     return dict(
-        pr_lo=pr_lo, pr_hi=pr_hi, pr_rlo=pr_rlo, pr_sid=pr_sid,
-        pr_nid=pr_nid, nb=nb_next,
+        pr=pr, nb=nb_next,
         parity=keep_if(wpar, par),
         npairs=keep_if(pair_count, P),
         nnodes=keep_if(child_total, U),
         depth=keep_if(depth + 1, depth),
-        c_lo=c_lo, c_hi=c_hi, c_rlo=c_rlo,
-        cum_f=cum_f, cum_nln=cum_nln, cum_act=cum_act,
-        nd_cid=nd_cid, nd_out=nd_out,
         hist=hist,
         hist_len=keep_if(state["hist_len"] + child_total,
                          state["hist_len"]),
@@ -629,8 +533,7 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
         lvl_off=jnp.asarray(state["lvl_off"]).at[state["nlev"]].set(
             state["hist_len"]),
         nlev=keep_if(state["nlev"] + 1, state["nlev"]),
-        out_freq=out_freq, out_rlo=out_rlo, out_sid=out_sid,
-        out_row=out_row, out_depth=out_depth,
+        out=out,
         ocount=keep_if(oc, state["ocount"]),
         total_paths=keep_if(total_paths, state["total_paths"]),
         ent_min=keep_if(ent_min, state["ent_min"]),
@@ -639,23 +542,42 @@ def _episode_body(dev_frows, dev_rrows, dev_soff, dev_C4, sc: _Scalars,
     )
 
 
+def _ceil_log2(x):
+    """Traced ceil(log2(max(x, 1))) for int32 x <= 2^24 (exact in f32)."""
+    import jax.numpy as jnp
+
+    mant, expo = jnp.frexp(jnp.maximum(x, 1).astype(jnp.float32))
+    return (expo - (mant == np.float32(0.5)).astype(jnp.int32))
+
+
 @functools.cache
 def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
     import jax
+    import jax.numpy as jnp
+    from jax import lax
 
-    def run(frows, rrows, soff, C4, state, *flat_scalars):
+    lb_max = (PAIR_HEADROOM * cap - 1).bit_length()  # log2(prow)
+
+    def run(frows, rrows, meta, state, *flat_scalars):
         sc = _Scalars(*flat_scalars)
 
         def cond(st):
             return st["flag"] == FLAG_RUN
 
         def body(st):
-            return _episode_body(frows, rrows, soff, C4, sc, prefix_codes,
-                                 hist_cap, st)
+            k = jnp.clip(_ceil_log2(jnp.maximum(st["npairs"],
+                                                st["nnodes"] + 1)),
+                         LB_MIN, lb_max) - LB_MIN
+            branches = [
+                functools.partial(_level_at_bucket, lb, frows, rrows, meta,
+                                  sc, prefix_codes, hist_cap)
+                for lb in range(LB_MIN, lb_max + 1)
+            ]
+            return lax.switch(k, branches, st)
 
         return jax.lax.while_loop(cond, body, state)
 
-    return jax.jit(run, donate_argnums=(4,))
+    return jax.jit(run, donate_argnums=(3,))
 
 
 @functools.cache
@@ -767,14 +689,16 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
     n = int(state["ocount"])
     if n == 0:
         return
-    npad = min(_next_pow2(n), state["out_rlo"].shape[0])
+    npad = min(_next_pow2(n), state["out"].shape[0])
     lc_dev = _jitted_lc_pairs()(dev.rrows, dev.soff,
-                                state["out_sid"][:npad],
-                                state["out_rlo"][:npad],
-                                state["out_freq"][:npad])
-    freq, sid, rows, depths, lc = jax.device_get(
-        (state["out_freq"][:n], state["out_sid"][:n], state["out_row"][:n],
-         state["out_depth"][:n], lc_dev[:n]))
+                                state["out"][:npad, OC_SID],
+                                state["out"][:npad, OC_RLO],
+                                state["out"][:npad, OC_FREQ])
+    orows, lc = jax.device_get((state["out"][:n], lc_dev[:n]))
+    freq = orows[:, OC_FREQ]
+    sid = orows[:, OC_SID]
+    rows = orows[:, OC_ROW]
+    depths = orows[:, OC_DEPTH]
     state["ocount"] = jnp.asarray(0, jnp.int32)
 
     # group pairs by (depth, node row) preserving first-seen order
@@ -823,11 +747,9 @@ def _pull_dense_frontier(state):
     n = int(state["nnodes"])
     m = int(state["npairs"])
     p = int(state["parity"])
-    lo, hi, rlo, sid, nid = jax.device_get(
-        (state["pr_lo"][p, :m], state["pr_hi"][p, :m],
-         state["pr_rlo"][p, :m], state["pr_sid"][p, :m],
-         state["pr_nid"][p, :m]))
-    return n, lo, hi, rlo, sid, nid
+    prs = jax.device_get(state["pr"][p, :m])
+    return (n, prs[:, PC_LO], prs[:, PC_HI], prs[:, PC_RLO],
+            prs[:, PC_SID], prs[:, PC_NID])
 
 
 def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
@@ -862,24 +784,20 @@ def _resize_state(state, dev: DeviceIndexes, cap: int, hist_cap: int):
     """Rare safety path (frontier exceeded CAP_MAX): re-bucket every
     capacity-dependent buffer on device, preserving the live pair list
     and the current history segment."""
-    import jax.numpy as jnp
-
     fresh = _seed_episode(dev, cap, hist_cap)
     out = dict(fresh)
     for k in ("parity", "npairs", "nnodes", "depth", "hist_len", "nlev",
               "ocount", "total_paths", "ent_min", "ent_max", "flag",
               "lvl_off"):
         out[k] = state[k]
-    for k in ("pr_lo", "pr_hi", "pr_rlo", "pr_sid", "pr_nid", "nb"):
-        src = state[k]
-        dst = fresh[k]
-        ncopy = min(src.shape[1], dst.shape[1])
-        out[k] = dst.at[:, :ncopy].set(src[:, :ncopy])
+    ncopy = min(state["pr"].shape[1], fresh["pr"].shape[1])
+    out["pr"] = fresh["pr"].at[:, :ncopy].set(state["pr"][:, :ncopy])
+    ncopy = min(state["nb"].shape[1], fresh["nb"].shape[1])
+    out["nb"] = fresh["nb"].at[:, :ncopy].set(state["nb"][:, :ncopy])
     hn = min(state["hist"].shape[0], fresh["hist"].shape[0])
     out["hist"] = fresh["hist"].at[:hn].set(state["hist"][:hn])
-    on = min(state["out_freq"].shape[0], fresh["out_freq"].shape[0])
-    for k in ("out_freq", "out_rlo", "out_sid", "out_row", "out_depth"):
-        out[k] = fresh[k].at[:on].set(state[k][:on])
+    on = min(state["out"].shape[0], fresh["out"].shape[0])
+    out["out"] = fresh["out"].at[:on].set(state["out"][:on])
     return out
 
 
@@ -906,12 +824,20 @@ def mine_device(
     `checkpoint`: path to a snapshot written at every drain-type episode
     exit and resumed from automatically when the file exists
     (mining/checkpoint.py); `out_reserve` lowers the drain threshold
-    (more frequent exits -> finer checkpoints)."""
+    (more frequent exits -> finer checkpoints; values above the
+    OUT_RESERVE buffer constant are clamped down to it because the
+    buffers are sized from the constant)."""
     import jax.numpy as jnp
 
     cfg.validate()
     if dev is None:
         dev = DeviceIndexes.build(indexes)
+    if dev.S > MAX_SAMPLES:
+        raise ValueError(
+            f"mine_device supports at most {MAX_SAMPLES} samples "
+            f"(got {dev.S}): the int32 entropy fixed-point windows "
+            "(_nln_windows) guarantee exactness only to that bound; "
+            "shard the sample axis (parallel/engine_sharded.py)")
     d = dev.S
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
     sc = _Scalars.build(cfg, tail_width=tail_width,
@@ -923,6 +849,7 @@ def mine_device(
     cap = _auto_cap(dev, cap)
     hist_cap = _hist_cap(dev)
     state = _seed_episode(dev, cap, hist_cap)
+    meta = _sample_meta(dev)
     ph = PathHistory()
     seg_depth0 = 0
     if checkpoint is not None and os.path.exists(checkpoint):
@@ -938,11 +865,13 @@ def mine_device(
         rlo_d = np.asarray(host_state.pop("rlo"))
         nid, sid = np.nonzero(hi_d > lo_d)
         k = nid.shape[0]
-        fresh["pr_lo"] = fresh["pr_lo"].at[0, :k].set(lo_d[nid, sid])
-        fresh["pr_hi"] = fresh["pr_hi"].at[0, :k].set(hi_d[nid, sid])
-        fresh["pr_rlo"] = fresh["pr_rlo"].at[0, :k].set(rlo_d[nid, sid])
-        fresh["pr_sid"] = fresh["pr_sid"].at[0, :k].set(sid.astype(np.int32))
-        fresh["pr_nid"] = fresh["pr_nid"].at[0, :k].set(nid.astype(np.int32))
+        prh = np.zeros((k, 8), dtype=np.int32)
+        prh[:, PC_LO] = lo_d[nid, sid]
+        prh[:, PC_HI] = hi_d[nid, sid]
+        prh[:, PC_RLO] = rlo_d[nid, sid]
+        prh[:, PC_SID] = sid
+        prh[:, PC_NID] = nid
+        fresh["pr"] = fresh["pr"].at[0, :k].set(prh)
         fresh["npairs"] = jnp.asarray(k, jnp.int32)
         n_nodes = int(host_state.pop("nvalid"))
         fresh["nnodes"] = jnp.asarray(n_nodes, jnp.int32)
@@ -983,7 +912,7 @@ def mine_device(
 
     while True:
         fn = _jitted_episode(cap, hist_cap, dev.S, prefix_codes)
-        state = fn(dev.frows, dev.rrows, dev.soff, dev.C4, state, *sc.flat())
+        state = fn(dev.frows, dev.rrows, meta, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
             print(f"mine_device: flag={flag} cap={cap} "

@@ -138,7 +138,8 @@ class MergeServer:
 
     def __init__(self, readers: list[SocketTrieReader], cfg: MiningConfig,
                  out=None, err=None, verbose: bool = False,
-                 debug: bool = False, topfreq: int = 0, toptimes: int = 0):
+                 debug: bool = False, topfreq: int = 0, toptimes: int = 0,
+                 outputall: bool = False):
         cfg.validate()
         self.readers = readers
         self.cfg = cfg
@@ -146,6 +147,7 @@ class MergeServer:
         self.err = err if err is not None else sys.stderr
         self.verbose = verbose
         self.debug = debug
+        self.outputall = outputall
         self.topfreq = topfreq
         self.toptimes = toptimes
         d = len(readers)
@@ -267,9 +269,11 @@ class MergeServer:
 
     def _progress(self, nactive: int) -> None:
         """Stall detector + histogram + status line (metaserver.cpp:271-310),
-        printed while descending into shallow nodes."""
-        if not (self.verbose and
-                len(self.path) <= (5 + 2 * int(self.debug))):
+        printed while descending into shallow nodes — or at EVERY node
+        under -A/--outputall ("Even more verbose (not safe)",
+        metaserver.cpp:57,271)."""
+        if not (self.outputall or (self.verbose and
+                                   len(self.path) <= (5 + 2 * int(self.debug)))):
             return
         if self.toptimes:
             by_rate = sorted(self.readers, key=lambda t: -t.rate())
@@ -355,13 +359,15 @@ def accept_readers(port: int, names: list[str], err=sys.stderr,
 
 def serve(port: int, names: list[str], cfg: MiningConfig, out=None,
           err=None, verbose: bool = False, debug: bool = False,
-          topfreq: int = 0, toptimes: int = 0) -> MergeServer:
+          topfreq: int = 0, toptimes: int = 0,
+          outputall: bool = False) -> MergeServer:
     """Full metaserver run: accept, merge, stats.  -> the server object
     (counters inspectable; stdout already written)."""
     err = err if err is not None else sys.stderr
     readers = accept_readers(port, names, err=err)
     ms = MergeServer(readers, cfg, out=out, err=err, verbose=verbose,
-                     debug=debug, topfreq=topfreq, toptimes=toptimes)
+                     debug=debug, topfreq=topfreq, toptimes=toptimes,
+                     outputall=outputall)
     ms.run()
     for tr in readers:
         if not tr.check_eof():

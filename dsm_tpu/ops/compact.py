@@ -1,0 +1,93 @@
+"""Stream compaction on TPU via rank/select over packed bitmasks.
+
+The mining wavefront compacts surviving children / gated outputs into
+dense arrays every level.  XLA's general answers are all expensive on
+TPU: a stable argsort is a full bitonic network (~70 ms at 8M),
+scatter lowers through a sort (~55 ms), and jnp.searchsorted issues
+log2(N) scalar gathers per element.  Worse, any (N, k) intermediate
+with k < 128 that XLA lays out row-major is padded to 128 lanes by the
+(8, 128) tile — a (8M, 1) broadcast becomes a 4 GiB buffer.
+
+So this computes the compaction GATHER indices the same way an FM-index
+answers select queries — fitting, for a string-mining framework — using
+ONLY 1-D arrays: pack the keep mask into uint32 words (one word = one
+select block), popcount + prefix-sum the per-word counts, invert the
+(sorted) word-offset map with one word-count-sized scatter-max plus a
+cummax, then two 1-D gathers from word-count-sized tables (which fit in
+VMEM) and a 5-step branchless in-word bit select finish each output
+slot.  No sort, no 2-D temporary, no large scatter.
+
+Used by the device mining episode (mining/engine_device.py); the
+reference's equivalent moment is the implicit "append surviving child
+to the DFS stack" in EnumerateQuery.cpp:184-222.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLK = 32  # bits per select block = one packed uint32 word
+
+
+def compact_kidx(mask, width: int):
+    """Indices of the set bits of `mask`, compacted to the front.
+
+    mask: bool (N,) with N a multiple of 32.
+    width: static output length (must be >= the true popcount whenever
+      the caller reads that many entries; extra slots hold in-range
+      garbage indices).
+
+    Returns (kidx int32 (width,), count int32 scalar): kidx[j] = index of
+    the j-th set bit for j < count; garbage (but in [0, N)) beyond.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = mask.shape[0]
+    assert n % BLK == 0, "mask length must be a multiple of 32"
+    nw = n // BLK
+    assert width <= n
+
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = (jnp.where(mask.reshape(nw, 32), weights[None, :], jnp.uint32(0))
+             .sum(axis=1, dtype=jnp.uint32))                     # (nw,)
+    cntw = lax.population_count(words).astype(jnp.int32)
+    incw = jnp.cumsum(cntw)
+    offw = incw - cntw                                           # exclusive
+    count = incw[-1]
+
+    # owner word of each output slot: words own contiguous slot ranges
+    # [offw[i], offw[i]+cntw[i]); empty words collapse onto the next
+    # offset, so "last word starting at or before j" (scatter-max +
+    # cummax) picks the owner.
+    arr = jnp.full(width, -1, jnp.int32).at[offw].max(
+        jnp.arange(nw, dtype=jnp.int32), mode="drop",
+        indices_are_sorted=True)
+    blk = jnp.maximum(lax.cummax(arr), 0)                        # (width,)
+
+    off_j = jnp.take(offw, blk)                                  # (width,)
+    word = jnp.take(words, blk)
+    r = jnp.arange(width, dtype=jnp.int32) - off_j               # in-word rank
+
+    # branchless in-word select of the r-th set bit
+    pos = jnp.zeros(width, jnp.int32)
+    cur = word
+    for half in (16, 8, 4, 2, 1):
+        low = lax.population_count(
+            cur & ((jnp.uint32(1) << half) - jnp.uint32(1))).astype(jnp.int32)
+        go = r >= low
+        pos = pos + jnp.where(go, half, 0)
+        r = r - jnp.where(go, low, 0)
+        cur = jnp.where(go, cur >> half, cur)
+
+    kidx = blk * BLK + pos
+    return jnp.minimum(kidx, n - 1), count
+
+
+def compact_kidx_np(mask: np.ndarray, width: int):
+    """NumPy oracle for compact_kidx (exact on the first `count` slots)."""
+    idx = np.flatnonzero(mask)
+    out = np.zeros(width, dtype=np.int32)
+    k = min(len(idx), width)
+    out[:k] = idx[:k]
+    return out, len(idx)

@@ -191,10 +191,16 @@ def mine_sharded(
     cfg: MiningConfig,
     mesh=None,
     cap: int = MIN_CAP,
+    prefix: bytes = b"",
+    reader_order: str = "ascending",
 ) -> MinedOutput:
     """Mine on a device mesh: samples sharded + psum-merged, trie split
     into disjoint depth-0 prefix partitions per mesh row.  Output is
-    identical to engine_np.mine_np / engine.mine_tpu.
+    identical to engine_np.mine_np / engine.mine_tpu, including the
+    enforcepath `prefix` restriction (EnumerateQuery.cpp:240-290) and
+    reader_order='gnu' byte-exact emission (one GnuOrderTracker per
+    prefix row — rows see disjoint path sets, so per-row trackers equal
+    the single-server replay of mining/gnuorder.py).
     """
     import jax
     import jax.numpy as jnp
@@ -210,12 +216,23 @@ def mine_sharded(
     dev = ShardedIndexes.build(indexes, pad_to=pad_to)
 
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
+    trackers = None
+    if reader_order == "gnu":
+        from ..mining.gnuorder import GnuOrderTracker
+
+        trackers = [GnuOrderTracker(d, server_prefix_len=max(1, len(prefix)))
+                    for _ in range(n_prefix)]
+    elif reader_order != "ascending":
+        raise ValueError(f"unknown reader_order {reader_order!r}")
     step = _jitted_sharded_step(mesh)
     fmin = jnp.asarray(cfg.fmin, dtype=jnp.int32)
     rmask = row_masks(n_prefix)
     mask_all = jnp.asarray(np.repeat(np.ones((1, 4), bool), n_prefix, 0))
     mask_none = jnp.asarray(np.zeros((n_prefix, 4), bool))
     mask_rows = jnp.asarray(rmask)
+    prefix_codes = [EXT_CHARS.index(b) for b in prefix]
+    onehots = [jnp.asarray(np.repeat(np.eye(4, dtype=bool)[ci][None],
+                                     n_prefix, 0)) for ci in range(4)]
 
     state = _seed_sharded(dev, n_prefix, cap)
     paths: list[list[bytes]] = [[b""] for _ in range(n_prefix)]
@@ -224,6 +241,12 @@ def mine_sharded(
     while True:
         if depth >= cfg.maxdepth:
             sym_mask = mask_none
+        elif depth < len(prefix_codes):
+            # enforced path composes with the row partition: only the
+            # owning row's frontier survives past depth 0
+            sym_mask = onehots[prefix_codes[depth]]
+            if depth == 0:
+                sym_mask = sym_mask & mask_rows
         elif depth == 0:
             sym_mask = mask_rows
         else:
@@ -245,12 +268,24 @@ def mine_sharded(
                     out, cfg, d, depth,
                     paths[r] + [b""] * (cap_now - len(paths[r])),
                     freq[r], lc[r], sf[r],
+                    trackers[r] if trackers else None,
                 )
         if counts.max() == 0:
             break
 
         parent_row = np.asarray(res["parent_row"])
         sym = np.asarray(res["sym"])
+        if trackers is not None:
+            child_act = np.asarray(res["hi"] > res["lo"])[:, :, :d]
+            for r in range(n_prefix):
+                cc = int(counts[r])
+                trackers[r].advance(
+                    depth, paths[r],
+                    [(int(u), int(c), child_act[r, j])
+                     for j, (u, c) in enumerate(
+                         zip(parent_row[r, :cc].tolist(),
+                             sym[r, :cc].tolist()))],
+                )
         for r in range(n_prefix):
             cc = int(counts[r])
             paths[r] = [paths[r][u] + EXT_CHARS[c:c + 1]

@@ -110,3 +110,18 @@ def test_cli_validators():
     assert b"greater than or equal to 1024" in p.stderr
     p = dsm("mine", "nonexistent.dsmi", capture_output=True)
     assert p.returncode != 0
+
+
+def test_cli_mine_sharded_matches_golden(built_indexes):
+    """`dsm mine --engine sharded` on the virtual 8-device CPU mesh must
+    produce the reference goldens (VERDICT r2 #4: this entry point used
+    to crash with a TypeError)."""
+    env = {**ENV, "XLA_FLAGS": ENV.get("XLA_FLAGS", "")
+           + " --xla_force_host_platform_device_count=8"}
+    p = subprocess.run(
+        [sys.executable, "-m", "dsm_tpu", "mine", "--engine", "sharded",
+         "--reader-order", "gnu", "-f", "2", "-E", "1.2",
+         "--prefix", "A", *built_indexes],
+        env=env, cwd=REPO, capture_output=True)
+    assert p.returncode == 0, p.stderr.decode()
+    assert p.stdout == golden_lines("default", "A")
