@@ -116,8 +116,54 @@ def _decode_tree(node, m: int) -> np.ndarray:
     return out
 
 
+def _read_blockarray(r: _Reader) -> np.ndarray:
+    """BlockArray::Load (BlockArray.h:68-80): n, blockLength, then n
+    blockLength-bit fields packed LSB-first into u64 words
+    (Tools::GetField, Tools.h:61-76)."""
+    n = r.take("Q")
+    bl = r.take("Q")
+    words = r.array(np.uint64, n * bl // _W + 1)
+    if n == 0 or bl == 0:
+        return np.zeros(int(n), dtype=np.int64)
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    mat = bits[: n * bl].reshape(int(n), int(bl))
+    weights = (np.uint64(1) << np.arange(bl, dtype=np.uint64))
+    return (mat.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+
+
+def load_sa(path: str):
+    """Read a reference .sa side file (FMIndex::saveSamples,
+    FMIndex.cpp:125-147) into our SASamples.
+
+    Layout: BitRank `sampled` (marks sampled BWT rows; terminator rows
+    are never sampled, FMIndex.cpp:624), BlockArray `suffixes` (offset
+    from text start per sampled row, in row-rank order), BlockArray
+    `suffixDocId`, BlockArray `textLength`, ArrayDoc (a BlockArray
+    mapping end-marker rank -> doc id, used when a locate walk reaches
+    a '\0' BWT entry: FMIndex.h:117-123)."""
+    from .fmindex import SASamples
+
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    sampled = _read_bitrank(r)
+    suffixes = _read_blockarray(r)
+    suffix_doc = _read_blockarray(r)
+    text_length = _read_blockarray(r)
+    endmarker_doc = _read_blockarray(r)
+    rows = np.flatnonzero(sampled).astype(np.int64)
+    if rows.shape[0] != suffixes.shape[0]:
+        raise ValueError(f"{path}: sampled-row/suffix count mismatch")
+    text_starts = np.concatenate(
+        [[0], np.cumsum(text_length + 1)[:-1]]).astype(np.int64)
+    return SASamples(rows=rows, vals=text_starts[suffix_doc] + suffixes,
+                     text_starts=text_starts, endmarker_doc=endmarker_doc)
+
+
 def load_fmi(path: str) -> FMIndex:
-    """Read a reference .fmi into our flat occ-table index."""
+    """Read a reference .fmi into our flat occ-table index.  A sibling
+    reference .sa side file (base.sa next to base.fmi) is picked up
+    automatically — the reference requires an explicit samplefile
+    argument instead (FMIndex.cpp:255-262)."""
     with open(path, "rb") as f:
         r = _Reader(f.read())
     ver = r.take("B")
@@ -158,10 +204,18 @@ def load_fmi(path: str) -> FMIndex:
         # C is cumulative; count of ch = C[ch+1] - C[ch]
         if int(nxt - C[ch]) != int(table.counts[code]):
             raise ValueError(f"{path}: C table mismatch for byte {ch}")
+    samples = None
+    base = path[: -len(FMI_EXTENSION)] if path.endswith(FMI_EXTENSION) else path
+    for sa_path in (base + ".sa", path + ".sa"):
+        import os
+
+        if os.path.exists(sa_path):
+            samples = load_sa(sa_path)
+            break
     return FMIndex(
         n=int(n), table=table, number_of_texts=int(number_of_texts),
         max_text_length=int(max_text_length), samplerate=int(samplerate),
-        names=[])
+        names=[], sa_samples=samples)
 
 
 # ------------------------------------------------------------------ write --

@@ -66,6 +66,11 @@ class SASamples:
     rows: np.ndarray
     vals: np.ndarray
     text_starts: np.ndarray
+    # end-marker rank -> doc id (ArrayDoc, FMIndex.h:117-123): lets a
+    # locate() walk resolve rows whose BWT entry is a terminator, which
+    # happens with reference-built .sa samples (their stride never covers
+    # text starts).  Our own builds sample every text start instead.
+    endmarker_doc: np.ndarray | None = None
 
 
 def _rtable_from_texts(code_texts: list[np.ndarray],
@@ -301,10 +306,25 @@ class FMIndex:
             if not pending.any():
                 break
             c = flat[rows].astype(np.int64)
-            if (pending & (c == TERM)).any():
-                # cannot happen: rows with L == '\0' have SA at a text
-                # start, and every text start is sampled (from_texts)
-                raise AssertionError("locate walk reached a terminator LF")
+            at_term = pending & (c == TERM)
+            if at_term.any():
+                # the walk met a '\0' BWT entry: this suffix starts at
+                # the text following that end-marker (FMIndex.h:117-123)
+                if s.endmarker_doc is None:
+                    # cannot happen for our own builds: rows with
+                    # L == '\0' have SA at a text start, and every text
+                    # start is sampled (from_texts)
+                    raise AssertionError(
+                        "locate walk reached a terminator LF")
+                tr = np.flatnonzero(at_term)
+                ranks = occ_prefix_np(
+                    self.table, np.full(tr.shape, TERM, dtype=np.int8),
+                    rows[tr])
+                docs = s.endmarker_doc[ranks]
+                out[tr] = s.text_starts[docs] + dist[tr]
+                pending &= ~at_term
+                if not pending.any():
+                    break
             # one LF step: SA[next] = SA[row] - 1
             nxt = self.C[c] + occ_prefix_np(
                 self.table, c.astype(np.int8), rows)
@@ -377,6 +397,8 @@ class FMIndex:
             arrays["sa_rows"] = self.sa_samples.rows
             arrays["sa_vals"] = self.sa_samples.vals
             arrays["sa_starts"] = self.sa_samples.text_starts
+            if self.sa_samples.endmarker_doc is not None:
+                arrays["sa_emdoc"] = self.sa_samples.endmarker_doc
         with open(path, "wb") as f:  # keep the exact filename (no .npz suffix)
             np.savez_compressed(f, **arrays)
 
@@ -385,6 +407,14 @@ class FMIndex:
         """Load an index artifact: our .npz container, or a reference
         .fmi v14-v17 (dispatch by magic, as TextCollection::load
         dispatches by extension, TextCollection.cpp:27-62)."""
+        if path.endswith(".rlcsa.array") or path.endswith(".rlcsa.parameters"):
+            # TextCollection::load also dispatches RLCSA artifacts
+            # (TextCollection.cpp:27-62); we index with a different
+            # layout and do not read Psi-vector files
+            raise ValueError(
+                f"{path}: RLCSA artifacts (.rlcsa.array) are not "
+                "supported; rebuild the index from FASTA with "
+                "`dsm build` or load a .fmi / .dsmi artifact instead")
         with open(path, "rb") as f:
             magic = f.read(2)
         if magic[:2] != b"PK":  # not a zip -> reference binary format
@@ -411,8 +441,11 @@ class FMIndex:
                                   C=z["C"])
             samples = None
             if "sa_rows" in z.files:
-                samples = SASamples(rows=z["sa_rows"], vals=z["sa_vals"],
-                                    text_starts=z["sa_starts"])
+                samples = SASamples(
+                    rows=z["sa_rows"], vals=z["sa_vals"],
+                    text_starts=z["sa_starts"],
+                    endmarker_doc=(z["sa_emdoc"] if "sa_emdoc" in z.files
+                                   else None))
                 if meta["version"] < 2 and not np.isin(
                         samples.text_starts, samples.vals).all():
                     # pre-v2 stride-only samples: a locate() walk could
