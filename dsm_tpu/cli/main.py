@@ -173,6 +173,14 @@ def cmd_mine(args) -> int:
 
         out = mine_sharded(indexes, cfg, prefix=prefix,
                            reader_order=args.reader_order)
+    elif args.engine == "sharded-episode":
+        from ..parallel.engine_episode import mine_device_sharded
+
+        if args.reader_order != "ascending":
+            _die("dsm mine: --engine sharded-episode supports "
+                 "--reader-order ascending only (use --engine sharded "
+                 "for gnu order)")
+        out = mine_device_sharded(indexes, cfg, prefix=prefix)
     else:
         from ..mining.engine import mine_tpu
 
@@ -346,8 +354,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--prefix", default="",
                    help="mine only the subtree under this DNA prefix "
                         "(enforcepath)")
-    m.add_argument("--engine", choices=["tpu", "numpy", "sharded"],
-                   default="tpu")
+    m.add_argument("--engine",
+                   choices=["tpu", "numpy", "sharded", "sharded-episode"],
+                   default="tpu",
+                   help="sharded: per-level mesh engine (gnu-order "
+                        "capable); sharded-episode: device-resident "
+                        "episode loop over a samples mesh")
     m.add_argument("--reader-order", choices=["ascending", "gnu"],
                    default="ascending",
                    help="per-line reader order; 'gnu' replicates the "

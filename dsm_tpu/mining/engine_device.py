@@ -317,9 +317,21 @@ def _nln_value(d3):
 
 
 def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
-                     sc: _Scalars, prefix_codes, hist_cap, state):
+                     sc: _Scalars, prefix_codes, hist_cap, state,
+                     axis_name: str | None = None,
+                     s_total: int | None = None):
     """One trie level at static bucket width B = 2^LB >= max(P, U+1):
     a single full-width vectorized pass (no chunking, no sorts).
+
+    With `axis_name` the function is the shard_map body of the
+    multi-device episode (parallel/engine_episode.py): the pair list,
+    nb boundaries and occ tables hold only this shard's samples, and
+    the per-node boundary statistics are psum'd over the samples axis —
+    the TPU-native form of the reference's cross-sample trie-stream
+    merge (metaserver.cpp:159-189,325-339).  Everything derived from
+    the psum'd values (child numbering, gates, history, flags) is
+    computed identically on every shard; pair compaction and output
+    emission stay local.
 
     Invariant: the pair list is sorted by node id and each node's pairs
     are contiguous (within a node: ascending sample id).  It is
@@ -361,7 +373,9 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     U = state["nnodes"]
     par = state["parity"]
     wpar = 1 - par
-    S_total = meta_rows.shape[0]
+    # entropy uses the GLOBAL sample count d (metaserver.cpp:356-389);
+    # under sharding the local meta row count is only this shard's slice
+    S_total = s_total if s_total is not None else meta_rows.shape[0]
 
     # per-level symbol mask: enforced prefix, then maxdepth cutoff
     sym_mask = jnp.ones(4, dtype=bool)
@@ -410,14 +424,22 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     a = jnp.where(validn, nbs[:B], 0)
     b = jnp.where(validn, nbs[1:], 0)
     d8 = jnp.take(cum, b, axis=0) - jnp.take(cum, a, axis=0)     # (B, 8)
+    cnt_local = d8[:, 4:8]                                       # (B, 4)
+    nact_local = jnp.where(validn, b - a, 0)
+    if axis_name is not None:
+        # the trie merge: global per-node statistics over the mesh
+        d8 = lax.psum(d8, axis_name)
+        nact = lax.psum(nact_local, axis_name)
+    else:
+        nact = nact_local
     sumf = d8[:, 0]
     sumnln = _nln_value(d8[:, 1:4])
     cnt = d8[:, 4:8]                                             # (B, 4)
-    nact = jnp.where(validn, b - a, 0)
     exists = (cnt > 0) & sym_mask[None, :] & validn[:, None]
 
     exn = exists.sum(axis=0, dtype=jnp.int32)                    # (4,)
-    rgs = jnp.where(exists, cnt, 0).sum(axis=0, dtype=jnp.int32)
+    # local region sizes: this shard's surviving pairs per child region
+    rgs = jnp.where(exists, cnt_local, 0).sum(axis=0, dtype=jnp.int32)
     child_total = exn.sum()
     pair_count = rgs.sum()
 
@@ -453,7 +475,7 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     cid_mat = cid_flat.reshape(4, B).T                 # (B, 4): node, sym
     iota4b = jnp.arange(4 * B, dtype=jnp.int32)
     hv = (iota4b & (B - 1)) * 4 + (iota4b >> LB)       # parent_row*4 + sym
-    pcnt = jnp.where(exists, cnt, 0).T.reshape(4 * B)
+    pcnt = jnp.where(exists, cnt_local, 0).T.reshape(4 * B)
     nbv = jnp.cumsum(pcnt) - pcnt                      # child's first pair
 
     wn = min(4 * B, ncap)
@@ -500,8 +522,13 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     newpr = jnp.take(childrows, kidx_p, axis=0)        # (wp, 8)
     pr = lax.dynamic_update_slice(state["pr"], newpr[None], (wpar, 0, 0))
 
-    # ---- flags + commit -------------------------------------------------
+    # ---- flags + commit (identical on every shard: per-shard
+    # predicates are any-reduced over the mesh) ---------------------------
     grow = (child_total > ncap) | (pair_count > prow)
+    drain = oc > sc.out_reserve
+    if axis_name is not None:
+        grow = lax.psum(grow.astype(jnp.int32), axis_name) > 0
+        drain = lax.psum(drain.astype(jnp.int32), axis_name) > 0
     histfull = (state["hist_len"] + child_total > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
     commit = ~(grow | histfull)
@@ -513,7 +540,7 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
                 child_total == 0, FLAG_DONE,
                 jnp.where((child_total <= sc.tail_width)
                           & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
-                          jnp.where(oc > sc.out_reserve, FLAG_DRAIN,
+                          jnp.where(drain, FLAG_DRAIN,
                                     FLAG_RUN))))).astype(jnp.int32)
 
     def keep_if(new, old):

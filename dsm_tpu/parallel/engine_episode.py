@@ -1,0 +1,437 @@
+"""Multi-device device-resident mining: the episode loop under shard_map.
+
+Unifies the two halves the reference keeps separate — the fast
+device-resident wavefront episode (mining/engine_device.py: no per-level
+host round-trips, device history, drain/tail exits) and multi-device
+sample sharding (parallel/engine_sharded.py: the d-stream trie merge as
+psums over a mesh, metaserver.cpp:269-486 at 256-process scale).
+
+Layout under `shard_map` over a ('samples',) mesh axis:
+
+  * occ tables: each shard holds its samples' fused rows (padded to a
+    common per-sample row count so the sample axis shards evenly);
+  * pair list / nb / outputs: per shard, holding only that shard's
+    sample pairs — the same packed rows as the single-device episode,
+    with LOCAL sample ids (global id = shard * S_loc + local);
+  * per-node statistics (freq sums, entropy fixed-point windows,
+    per-symbol child counts, active-reader counts) are boundary
+    differences of local prefix sums, psum'd over the samples axis —
+    the one collective per level (one (B, 8) int32 all-reduce + scalar
+    any-reduces for the exit flags).  Everything derived from psum'd
+    values (union child numbering, output gates, history entries, exit
+    flags, the level's bucket) is bitwise identical on every shard, so
+    control flow stays uniform and the parent-pointer history can be
+    kept replicated;
+  * pair compaction, output emission and nb maintenance stay local.
+
+The driver mirrors mine_device: drain exits pull each shard's gated
+pairs (left-branching gate via a shard_map'd leftchar kernel), re-check
+entropy in exact f64 on the host, decode paths from the replicated
+history; the deep thin tail is handed to the host wavefront.
+
+Semantics: engine_np.mine_np in ascending reader order — differentially
+tested against the oracle on the 8-virtual-device CPU mesh
+(tests/test_sharded.py) and byte-parity-chained to the reference
+binaries through it.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..index.alphabet import EXT_CHARS
+from ..index.fmindex import FMIndex
+from ..mining.config import MiningConfig
+from ..mining.engine import leftchar_codes_pairs
+from ..mining.engine_np import MinedOutput, node_entropy
+from ..mining.engine_device import (
+    FLAG_DONE,
+    FLAG_DRAIN,
+    FLAG_GROW,
+    FLAG_HISTFULL,
+    FLAG_RUN,
+    FLAG_TAIL,
+    GROWTH,
+    LB_MIN,
+    MAX_SAMPLES,
+    OC_DEPTH,
+    OC_FREQ,
+    OC_RLO,
+    OC_ROW,
+    OC_SID,
+    OUT_RESERVE,
+    PAIR_HEADROOM,
+    PC_HI,
+    PC_LO,
+    PC_NID,
+    PC_RLO,
+    PC_SID,
+    TAIL_WIDTH,
+    PathHistory,
+    _ceil_log2,
+    _decode_rows,
+    _hist_cap,
+    _level_at_bucket,
+    _next_pow2,
+    _pull_segment,
+    _Scalars,
+    _seed_episode,
+)
+from ..ops.rank import ROWW
+from .engine_sharded import ShardedIndexes
+from .mesh import SAMPLES_AXIS
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    import jax
+
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs,
+                  out_specs=out_specs, check_rep=False)
+
+
+# state keys sharded over the samples axis (leading mesh dim outside the
+# shard body); everything else is replicated (identical on every shard)
+_SHARDED_KEYS = ("pr", "nb", "out", "npairs", "ocount")
+
+
+def _specs(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    sh = P(SAMPLES_AXIS)
+    rep = P()
+    state_spec = {k: (sh if k in _SHARDED_KEYS else rep)
+                  for k in ("pr", "nb", "parity", "npairs", "nnodes",
+                            "depth", "hist", "hist_len", "lvl_off", "nlev",
+                            "out", "ocount", "total_paths", "ent_min",
+                            "ent_max", "flag")}
+    return sh, rep, state_spec
+
+
+@functools.cache
+def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
+                            prefix_codes: tuple, s_total: int = 0):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    lb_max = (PAIR_HEADROOM * cap - 1).bit_length()
+    sh, rep, state_spec = _specs(mesh)
+
+    def shard_body(frows, rrows, C4, state, *flat_scalars):
+        # tables shard on their existing sample axis; the sharded STATE
+        # leaves carry an explicit leading shard dim instead (stripped
+        # here, restored on return)
+        state = {k: (v[0] if k in _SHARDED_KEYS else v)
+                 for k, v in state.items()}
+        S_l, nbp = frows.shape[0], frows.shape[1]
+        frows_flat = frows.reshape(S_l * nbp, ROWW)
+        soff = jnp.arange(S_l, dtype=jnp.int32) * nbp
+        meta = jnp.zeros((S_l, 8), jnp.int32)
+        meta = meta.at[:, 0].set(soff)
+        meta = meta.at[:, 1:5].set(C4)
+        sc = _Scalars(*flat_scalars)
+
+        def cond(st):
+            return st["flag"] == FLAG_RUN
+
+        def body(st):
+            np_max = lax.pmax(st["npairs"], SAMPLES_AXIS)
+            k = jnp.clip(_ceil_log2(jnp.maximum(np_max, st["nnodes"] + 1)),
+                         LB_MIN, lb_max) - LB_MIN
+            branches = [
+                functools.partial(_level_at_bucket, lb, frows_flat, None,
+                                  meta, sc, prefix_codes, hist_cap,
+                                  axis_name=SAMPLES_AXIS, s_total=s_total)
+                for lb in range(LB_MIN, lb_max + 1)
+            ]
+            return lax.switch(k, branches, st)
+
+        state = lax.while_loop(cond, body, state)
+        return {k: (v[None] if k in _SHARDED_KEYS else v)
+                for k, v in state.items()}
+
+    fn = _shard_map(
+        shard_body, mesh,
+        in_specs=(sh, sh, sh, state_spec) + (rep,) * 10,
+        out_specs=state_spec)
+    return jax.jit(fn, donate_argnums=(3,))
+
+
+@functools.cache
+def _jitted_lc_sharded(mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    def shard_lc(rrows, rows):
+        S_l, nbp = rrows.shape[0], rrows.shape[1]
+        rflat = rrows.reshape(S_l * nbp, ROWW)
+        soff = jnp.arange(S_l, dtype=jnp.int32) * nbp
+        sid = rows[0][:, OC_SID]
+        lc = leftchar_codes_pairs(rflat, soff[sid], rows[0][:, OC_RLO],
+                                  rows[0][:, OC_FREQ])
+        return lc[None]
+
+    fn = _shard_map(shard_lc, mesh,
+                    in_specs=(P(SAMPLES_AXIS), P(SAMPLES_AXIS)),
+                    out_specs=P(SAMPLES_AXIS))
+    return jax.jit(fn)
+
+
+def _seed_sharded_episode(dev: ShardedIndexes, n_shards: int, cap: int,
+                          hist_cap: int):
+    """Per-shard episode states stacked on a leading shard axis.
+
+    Seeds shard k's pair list with its S_loc samples (local sample ids
+    0..S_loc-1, global id = k*S_loc + local)."""
+    import jax.numpy as jnp
+
+    S_loc = dev.S // n_shards
+    # borrow the single-device seeder for shapes, then fix the seeds
+    class _Fake:
+        S = S_loc
+        ns = np.ones(S_loc, dtype=np.int64)
+    base = _seed_episode(_Fake, cap, hist_cap)
+    stacked = {}
+    ns = np.asarray(dev.ns, dtype=np.int64)
+    for k in _SHARDED_KEYS:
+        if k == "pr":
+            prs = []
+            for sh in range(n_shards):
+                pr = np.zeros(base["pr"].shape, dtype=np.int32)
+                loc = np.arange(S_loc)
+                pr[0, :S_loc, PC_HI] = ns[sh * S_loc:(sh + 1) * S_loc]
+                pr[0, :S_loc, PC_SID] = loc
+                prs.append(pr)
+            stacked["pr"] = jnp.asarray(np.stack(prs))
+        elif k == "nb":
+            nb = np.zeros((n_shards,) + base["nb"].shape, dtype=np.int32)
+            nb[:, 0, 1] = S_loc
+            stacked["nb"] = jnp.asarray(nb)
+        elif k == "npairs":
+            stacked["npairs"] = jnp.full((n_shards,), S_loc, jnp.int32)
+        elif k == "ocount":
+            stacked["ocount"] = jnp.zeros((n_shards,), jnp.int32)
+        elif k == "out":
+            stacked["out"] = jnp.zeros((n_shards,) + base["out"].shape,
+                                       jnp.int32)
+    out = dict(base)
+    out.update(stacked)
+    return out
+
+
+def _drain_sharded(out: MinedOutput, cfg: MiningConfig, d: int, state,
+                   ph: PathHistory, seg_depth0: int, dev: ShardedIndexes,
+                   mesh, n_shards: int) -> None:
+    """Pull every shard's gated pairs, map local sample ids to global,
+    then the same f64 entropy re-gate + left-branching gate + on-device
+    path decode as the single-device drain."""
+    import jax
+    import jax.numpy as jnp
+
+    ocounts = np.asarray(jax.device_get(state["ocount"]))
+    n_tot = int(ocounts.sum())
+    if n_tot == 0:
+        return
+    S_loc = dev.S // n_shards
+    npad = min(_next_pow2(int(ocounts.max())), state["out"].shape[1])
+    lc_dev = _jitted_lc_sharded(mesh)(dev.rrows, state["out"][:, :npad])
+    orows, lc_all = jax.device_get((state["out"][:, :npad], lc_dev))
+    state["ocount"] = jnp.zeros((n_shards,), jnp.int32)
+
+    freqs, sids, rows_, depths, lcs = [], [], [], [], []
+    for k in range(n_shards):
+        n_k = int(ocounts[k])
+        if n_k == 0:
+            continue
+        o = orows[k, :n_k]
+        freqs.append(o[:, OC_FREQ])
+        sids.append(o[:, OC_SID] + k * S_loc)   # local -> global sample id
+        rows_.append(o[:, OC_ROW])
+        depths.append(o[:, OC_DEPTH])
+        lcs.append(lc_all[k, :n_k])
+    freq = np.concatenate(freqs)
+    sid = np.concatenate(sids)
+    rows = np.concatenate(rows_)
+    depths = np.concatenate(depths)
+    lc = np.concatenate(lcs)
+
+    key = depths.astype(np.int64) << 32 | rows.astype(np.int64)
+    uniq, first, inv = np.unique(key, return_index=True, return_inverse=True)
+    order = np.argsort(first)
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    g = rank[inv]
+    m = uniq.size
+    fmat = np.zeros((m, dev.S), dtype=np.int64)
+    fmat[g, sid] = freq
+    lcmat = np.full((m, dev.S), -1, dtype=np.int64)
+    lcmat[g, sid] = lc
+    gdep = depths[first[order]]
+    grow_ = rows[first[order]]
+
+    fmat = fmat[:, :d]   # drop inert padding samples
+    lcmat = lcmat[:, :d]
+    ent = node_entropy(fmat, d)
+    if cfg.emax > 0:
+        ok = (ent >= cfg.emin) & (ent <= cfg.emax)
+    else:
+        ok = np.ones(m, dtype=bool)
+    active = fmat > 0
+    lc_min = np.where(active, lcmat, 99).min(axis=1)
+    lc_max = np.where(active, lcmat, -1).max(axis=1)
+    lc_agg = np.where(lc_min == lc_max, lc_max, 1)
+    ok &= lc_agg < 2
+    keep = np.flatnonzero(ok)
+    paths = _decode_rows(state, ph, seg_depth0, grow_[keep], gdep[keep])
+    for j, i in enumerate(keep):
+        act = np.flatnonzero(active[i])
+        out.total_output += 1
+        out.freq_histogram[act.size - 1] += 1
+        occs = [(int(r), int(fmat[i, r])) for r in act]
+        out.total_occs += len(occs)
+        out.lines.append((paths[j], float(ent[i]), occs))
+
+
+def _pull_dense_sharded(state, dev: ShardedIndexes, n_shards: int):
+    """(nnodes, S) dense interval arrays from every shard's pair list."""
+    import jax
+
+    n = int(state["nnodes"])
+    S = dev.S
+    S_loc = S // n_shards
+    counts = np.asarray(jax.device_get(state["npairs"]))
+    p = int(state["parity"])
+    m = int(counts.max())
+    prs = np.asarray(jax.device_get(state["pr"][:, p, :m]))
+    lo_d = np.zeros((n, S), dtype=np.int64)
+    hi_d = np.zeros((n, S), dtype=np.int64)
+    rlo_d = np.zeros((n, S), dtype=np.int64)
+    for k in range(n_shards):
+        o = prs[k, : int(counts[k])]
+        gsid = o[:, PC_SID] + k * S_loc
+        lo_d[o[:, PC_NID], gsid] = o[:, PC_LO]
+        hi_d[o[:, PC_NID], gsid] = o[:, PC_HI]
+        rlo_d[o[:, PC_NID], gsid] = o[:, PC_RLO]
+    return n, lo_d, hi_d, rlo_d
+
+
+def mine_device_sharded(
+    indexes: list[FMIndex],
+    cfg: MiningConfig,
+    mesh=None,
+    prefix: bytes = b"",
+    cap: int = 1 << LB_MIN,
+    tail_width: int = TAIL_WIDTH,
+    out_reserve: int = OUT_RESERVE,
+) -> MinedOutput:
+    """Device-resident episode mining over a samples-sharded mesh.
+
+    Same output as engine_np.mine_np / mine_device (ascending reader
+    order, enforcepath `prefix`).  Trie-prefix partitioning composes the
+    way the reference composes it — run one episode per prefix shard
+    (wrapper-SLURM/example-server.sh topology), each with its own mesh
+    or host (parallel/multihost.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    cfg.validate()
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs).reshape(len(devs)), (SAMPLES_AXIS,))
+    if tuple(mesh.axis_names) != (SAMPLES_AXIS,):
+        raise ValueError("mine_device_sharded wants a 1-D ('samples',) "
+                         "mesh; prefix partitioning runs one episode per "
+                         "prefix (see docstring)")
+    n_shards = mesh.shape[SAMPLES_AXIS]
+    d = len(indexes)
+    if d > MAX_SAMPLES * n_shards:
+        raise ValueError(f"at most {MAX_SAMPLES} samples per shard")
+    pad_to = -(-d // n_shards) * n_shards
+    dev = ShardedIndexes.build(indexes, pad_to=pad_to)
+    S_loc = dev.S // n_shards
+
+    out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
+    sc = _Scalars.build(cfg, tail_width=tail_width,
+                        out_reserve=min(out_reserve, OUT_RESERVE))
+    prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
+    debug = os.environ.get("DSM_DEBUG") == "1"
+    t0 = time.perf_counter()
+
+    total = int(np.asarray(dev.ns).sum())
+    cap = max(1 << LB_MIN, _next_pow2(cap),
+              min(_next_pow2(total + 1), 1 << 22))
+    hist_cap = _hist_cap(type("F", (), {"ns": np.asarray(dev.ns)})())
+    state = _seed_sharded_episode(dev, n_shards, cap, hist_cap)
+    ph = PathHistory()
+    seg_depth0 = 0
+
+    while True:
+        fn = _jitted_episode_sharded(mesh, cap, hist_cap, S_loc,
+                                     prefix_codes, s_total=d)
+        state = fn(dev.frows, dev.rrows, dev.C4, state, *sc.flat())
+        flag = int(state["flag"])
+        if debug:
+            print(f"mine_device_sharded: flag={flag} cap={cap} "
+                  f"depth={int(state['depth'])} "
+                  f"nnodes={int(state['nnodes'])} "
+                  f"t={time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+        if flag == FLAG_GROW:
+            # rare: reseed at larger capacity and replay the live pairs
+            raise NotImplementedError(
+                "sharded episode frontier exceeded fixed capacity; rerun "
+                f"with cap={cap * GROWTH}")
+        if flag == FLAG_DONE:
+            _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
+                           n_shards)
+            break
+        if flag == FLAG_TAIL:
+            _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
+                           n_shards)
+            out.total_paths += int(state["total_paths"])
+            em, eM = float(state["ent_min"]), float(state["ent_max"])
+            if np.isfinite(em):
+                out.smallest_entropy = min(out.smallest_entropy, em)
+            if np.isfinite(eM):
+                out.largest_entropy = max(out.largest_entropy, eM)
+            depth = int(state["depth"])
+            n, lo_d, hi_d, rlo_d = _pull_dense_sharded(state, dev, n_shards)
+            paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
+                                 np.full(n, depth))
+            from ..mining.engine_np import _Level, mine_from_level
+
+            level = _Level(paths=paths, lo=lo_d[:, :d], hi=hi_d[:, :d],
+                           rlo=rlo_d[:, :d])
+            mine_from_level(indexes, cfg, level, depth, out, prefix=prefix)
+            out.sort_postorder()
+            return out
+        if flag == FLAG_DRAIN:
+            _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
+                           n_shards)
+        elif flag == FLAG_HISTFULL:
+            _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
+                           n_shards)
+            _pull_segment(ph, seg_depth0, state)
+            seg_depth0 = int(state["depth"])
+        state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
+
+    out.total_paths = int(state["total_paths"])
+    em, eM = float(state["ent_min"]), float(state["ent_max"])
+    out.smallest_entropy = em if np.isfinite(em) else 1000.0
+    out.largest_entropy = eM if np.isfinite(eM) else -1000.0
+    out.sort_postorder()
+    return out

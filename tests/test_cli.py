@@ -125,3 +125,20 @@ def test_cli_mine_sharded_matches_golden(built_indexes):
         env=env, cwd=REPO, capture_output=True)
     assert p.returncode == 0, p.stderr.decode()
     assert p.stdout == golden_lines("default", "A")
+
+
+def test_cli_mine_sharded_episode(built_indexes):
+    """`dsm mine --engine sharded-episode` (device-resident episode loop
+    over the samples mesh) matches the numpy engine's output."""
+    env = {**ENV, "XLA_FLAGS": ENV.get("XLA_FLAGS", "")
+           + " --xla_force_host_platform_device_count=8"}
+    want = subprocess.run(
+        [sys.executable, "-m", "dsm_tpu", "mine", "--engine", "numpy",
+         "-f", "2", "-E", "1.2", *built_indexes],
+        env=env, cwd=REPO, capture_output=True)
+    got = subprocess.run(
+        [sys.executable, "-m", "dsm_tpu", "mine", "--engine",
+         "sharded-episode", "-f", "2", "-E", "1.2", *built_indexes],
+        env=env, cwd=REPO, capture_output=True)
+    assert got.returncode == 0, got.stderr.decode()
+    assert got.stdout == want.stdout

@@ -100,3 +100,40 @@ def test_sharded_full_depth(indexes):
     got = mine_sharded(indexes, cfg, mesh=mesh)
     assert got.format_lines() == want.format_lines()
     assert got.total_paths == want.total_paths
+
+
+def test_episode_sharded_full_depth(indexes):
+    """VERDICT r2 #3: the device-resident episode loop under shard_map —
+    full-depth (unbounded maxdepth) sharded mining must match the oracle
+    bit-for-bit, with drains, history and tail handoff crossing the mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from dsm_tpu.parallel.engine_episode import mine_device_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("samples",))
+    for cfg in (MiningConfig(fmin=2, emax=1.2),
+                MiningConfig(fmin=5, emax=10, pmin=1, pmax=1)):
+        want = mine_np(indexes, cfg)
+        got = mine_device_sharded(indexes, cfg, mesh=mesh)
+        assert got.format_lines() == want.format_lines()
+        assert got.total_paths == want.total_paths
+        assert np.array_equal(got.freq_histogram, want.freq_histogram)
+
+
+def test_episode_sharded_prefix(indexes):
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from dsm_tpu.parallel.engine_episode import mine_device_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("samples",))
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    for prefix in (b"A", b"GA"):
+        want = mine_np(indexes, cfg, prefix=prefix)
+        got = mine_device_sharded(indexes, cfg, mesh=mesh, prefix=prefix)
+        assert got.format_lines() == want.format_lines(), prefix
