@@ -163,6 +163,28 @@ def cmd_mine(args) -> int:
         if args.verbose:
             print(f"loaded {path} (n = {idx.n})", file=sys.stderr)
     prefix = args.prefix.encode() if args.prefix else b""
+    if args.num_hosts:
+        from ..parallel.multihost import initialize, mine_owned
+
+        if args.host_id is None:
+            _die("dsm mine: --num-hosts requires --host-id")
+        if prefix:
+            _die("dsm mine: --prefix and --num-hosts are exclusive "
+                 "(prefix ownership is computed per host)")
+        if args.coordinator:
+            initialize(args.coordinator, args.num_hosts, args.host_id)
+        out = mine_owned(indexes, cfg, args.num_hosts, args.host_id,
+                         hash_depth=args.hash_depth or None,
+                         engine=args.engine)
+        sys.stdout.buffer.write(out.format_lines())
+        if args.verbose:
+            print(f"Number of paths: {out.total_paths}\n"
+                  f"Number of reported paths: {out.total_output}\n"
+                  f"Number of reported occs: {out.total_occs}\n"
+                  f"Smallest and largest entropies encountered: "
+                  f"{out.smallest_entropy:g} and {out.largest_entropy:g}",
+                  file=sys.stderr)
+        return 0
     if args.engine == "numpy":
         from ..mining.engine_np import mine_np
 
@@ -367,6 +389,17 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--checkpoint", default=None,
                    help="snapshot file written at episode exits and "
                         "resumed from if present (tpu engine only)")
+    m.add_argument("--num-hosts", type=_int_min(1, "--num-hosts"),
+                   default=0,
+                   help="multi-host prefix ownership: mine only this "
+                        "host's share of the DNA-prefix shards")
+    m.add_argument("--host-id", type=_int_min(0, "--host-id"), default=None)
+    m.add_argument("--coordinator", default=None,
+                   help="host:port for jax.distributed.initialize "
+                        "(optional; prefix shards need no cross-host "
+                        "traffic)")
+    m.add_argument("--hash-depth", type=_int_min(1, "--hash-depth"),
+                   default=0, help="prefix shard depth (4**depth shards)")
     m.add_argument("-v", "--verbose", action="store_true")
     m.set_defaults(fn=cmd_mine)
 

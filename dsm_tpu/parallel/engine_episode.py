@@ -169,23 +169,62 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
 
 
 @functools.cache
+def _jitted_gather_counts(mesh):
+    """All-gather the per-shard (ocount, npairs) scalars so every host
+    can read them (multi-controller: direct device_get of a remote
+    shard is illegal; a replicated gather is addressable everywhere)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    def body(oc, np_):
+        from jax import lax
+
+        g1 = lax.all_gather(oc[0], SAMPLES_AXIS)
+        g2 = lax.all_gather(np_[0], SAMPLES_AXIS)
+        return g1, g2
+
+    fn = _shard_map(body, mesh,
+                    in_specs=(P(SAMPLES_AXIS), P(SAMPLES_AXIS)),
+                    out_specs=(P(), P()))
+    return jax.jit(fn)
+
+
+@functools.cache
+def _jitted_gather_rows(mesh):
+    """All-gather a per-shard packed-row slice to every host."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    def body(rows):
+        from jax import lax
+
+        return lax.all_gather(rows[0], SAMPLES_AXIS)
+
+    fn = _shard_map(body, mesh, in_specs=(P(SAMPLES_AXIS),),
+                    out_specs=P())
+    return jax.jit(fn)
+
+
+@functools.cache
 def _jitted_lc_sharded(mesh):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     def shard_lc(rrows, rows):
+        from jax import lax
+
         S_l, nbp = rrows.shape[0], rrows.shape[1]
         rflat = rrows.reshape(S_l * nbp, ROWW)
         soff = jnp.arange(S_l, dtype=jnp.int32) * nbp
         sid = rows[0][:, OC_SID]
         lc = leftchar_codes_pairs(rflat, soff[sid], rows[0][:, OC_RLO],
                                   rows[0][:, OC_FREQ])
-        return lc[None]
+        return lax.all_gather(lc, SAMPLES_AXIS)   # replicated to all hosts
 
     fn = _shard_map(shard_lc, mesh,
                     in_specs=(P(SAMPLES_AXIS), P(SAMPLES_AXIS)),
-                    out_specs=P(SAMPLES_AXIS))
+                    out_specs=P())
     return jax.jit(fn)
 
 
@@ -240,15 +279,18 @@ def _drain_sharded(out: MinedOutput, cfg: MiningConfig, d: int, state,
     import jax
     import jax.numpy as jnp
 
-    ocounts = np.asarray(jax.device_get(state["ocount"]))
+    ocounts, _ = _jitted_gather_counts(mesh)(state["ocount"],
+                                             state["npairs"])
+    ocounts = np.asarray(jax.device_get(ocounts))
     n_tot = int(ocounts.sum())
     if n_tot == 0:
         return
     S_loc = dev.S // n_shards
     npad = min(_next_pow2(int(ocounts.max())), state["out"].shape[1])
-    lc_dev = _jitted_lc_sharded(mesh)(dev.rrows, state["out"][:, :npad])
-    orows, lc_all = jax.device_get((state["out"][:, :npad], lc_dev))
-    state["ocount"] = jnp.zeros((n_shards,), jnp.int32)
+    out_slice = state["out"][:, :npad]
+    lc_all = jax.device_get(_jitted_lc_sharded(mesh)(dev.rrows, out_slice))
+    orows = jax.device_get(_jitted_gather_rows(mesh)(out_slice))
+    state["ocount"] = jnp.zeros_like(state["ocount"])
 
     freqs, sids, rows_, depths, lcs = [], [], [], [], []
     for k in range(n_shards):
@@ -304,17 +346,21 @@ def _drain_sharded(out: MinedOutput, cfg: MiningConfig, d: int, state,
         out.lines.append((paths[j], float(ent[i]), occs))
 
 
-def _pull_dense_sharded(state, dev: ShardedIndexes, n_shards: int):
-    """(nnodes, S) dense interval arrays from every shard's pair list."""
+def _pull_dense_sharded(state, dev: ShardedIndexes, n_shards: int, mesh):
+    """(nnodes, S) dense interval arrays from every shard's pair list
+    (all-gathered so it works in multi-controller runs)."""
     import jax
 
     n = int(state["nnodes"])
     S = dev.S
     S_loc = S // n_shards
-    counts = np.asarray(jax.device_get(state["npairs"]))
+    _, counts = _jitted_gather_counts(mesh)(state["ocount"],
+                                            state["npairs"])
+    counts = np.asarray(jax.device_get(counts))
     p = int(state["parity"])
     m = int(counts.max())
-    prs = np.asarray(jax.device_get(state["pr"][:, p, :m]))
+    prs = np.asarray(jax.device_get(
+        _jitted_gather_rows(mesh)(state["pr"][:, p, :m])))
     lo_d = np.zeros((n, S), dtype=np.int64)
     hi_d = np.zeros((n, S), dtype=np.int64)
     rlo_d = np.zeros((n, S), dtype=np.int64)
@@ -409,7 +455,8 @@ def mine_device_sharded(
             if np.isfinite(eM):
                 out.largest_entropy = max(out.largest_entropy, eM)
             depth = int(state["depth"])
-            n, lo_d, hi_d, rlo_d = _pull_dense_sharded(state, dev, n_shards)
+            n, lo_d, hi_d, rlo_d = _pull_dense_sharded(state, dev,
+                                                       n_shards, mesh)
             paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
                                  np.full(n, depth))
             from ..mining.engine_np import _Level, mine_from_level

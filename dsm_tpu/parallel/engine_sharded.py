@@ -42,7 +42,8 @@ from ..mining.engine import (
     expand_core,
 )
 from ..ops.rank import ROWW, fused_rows
-from .mesh import PREFIX_AXIS, SAMPLES_AXIS, default_mesh_shape, make_mesh, row_masks
+from .mesh import (PREFIX_AXIS, SAMPLES_AXIS, default_mesh_shape, make_mesh,
+                   prefix_depth, row_prefix_masks)
 
 
 @dataclass
@@ -216,20 +217,24 @@ def mine_sharded(
     dev = ShardedIndexes.build(indexes, pad_to=pad_to)
 
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
+    k_rows = prefix_depth(n_prefix)
     trackers = None
     if reader_order == "gnu":
         from ..mining.gnuorder import GnuOrderTracker
 
-        trackers = [GnuOrderTracker(d, server_prefix_len=max(1, len(prefix)))
-                    for _ in range(n_prefix)]
+        # one tracker per row = one reference server per owned prefix
+        # set; the enforced-path depth is the longer of the row's hash
+        # length and the user prefix (wrapper-SLURM/example-server.sh)
+        trackers = [GnuOrderTracker(
+            d, server_prefix_len=max(1, k_rows, len(prefix)))
+            for _ in range(n_prefix)]
     elif reader_order != "ascending":
         raise ValueError(f"unknown reader_order {reader_order!r}")
     step = _jitted_sharded_step(mesh)
     fmin = jnp.asarray(cfg.fmin, dtype=jnp.int32)
-    rmask = row_masks(n_prefix)
+    deep = row_prefix_masks(n_prefix)          # (n_prefix, k_rows, 4)
     mask_all = jnp.asarray(np.repeat(np.ones((1, 4), bool), n_prefix, 0))
     mask_none = jnp.asarray(np.zeros((n_prefix, 4), bool))
-    mask_rows = jnp.asarray(rmask)
     prefix_codes = [EXT_CHARS.index(b) for b in prefix]
     onehots = [jnp.asarray(np.repeat(np.eye(4, dtype=bool)[ci][None],
                                      n_prefix, 0)) for ci in range(4)]
@@ -241,16 +246,14 @@ def mine_sharded(
     while True:
         if depth >= cfg.maxdepth:
             sym_mask = mask_none
-        elif depth < len(prefix_codes):
-            # enforced path composes with the row partition: only the
-            # owning row's frontier survives past depth 0
-            sym_mask = onehots[prefix_codes[depth]]
-            if depth == 0:
-                sym_mask = sym_mask & mask_rows
-        elif depth == 0:
-            sym_mask = mask_rows
         else:
+            # per-row deep prefix ownership (AA..TT partitions) composed
+            # with the user's enforced path
             sym_mask = mask_all
+            if depth < k_rows:
+                sym_mask = sym_mask & jnp.asarray(deep[:, depth, :])
+            if depth < len(prefix_codes):
+                sym_mask = sym_mask & onehots[prefix_codes[depth]]
 
         res = step(dev.frows, dev.rrows, dev.C4, *state, fmin, sym_mask)
         counts = np.asarray(res["child_count"])

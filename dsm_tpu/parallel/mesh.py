@@ -47,15 +47,65 @@ def default_mesh_shape(n_devices: int) -> tuple[int, int]:
 
 def row_masks(n_prefix: int) -> np.ndarray:
     """(n_prefix, 4) bool: which depth-0 child symbols each prefix row
-    owns.  Rows partition {A,C,G,T} contiguously."""
-    if 4 % n_prefix and n_prefix % 4:
-        raise ValueError("prefix axis must divide or be divisible by 4")
+    owns.  Rows partition {A,C,G,T} contiguously.  For deeper partitions
+    (AA..TT and beyond, the reference's 16/64-server hash arrays in
+    wrapper-SLURM/example-server.sh) use row_prefix_masks."""
+    if n_prefix > 4:
+        raise ValueError("use row_prefix_masks for >4 prefix rows")
+    if 4 % n_prefix:
+        raise ValueError("prefix axis must divide 4")
     masks = np.zeros((n_prefix, 4), dtype=bool)
-    if n_prefix <= 4:
-        per = 4 // n_prefix
-        for r in range(n_prefix):
-            masks[r, r * per:(r + 1) * per] = True
-    else:
-        raise NotImplementedError(
-            "deeper prefix partitions (AA..TT) arrive with multi-host mode")
+    per = 4 // n_prefix
+    for r in range(n_prefix):
+        masks[r, r * per:(r + 1) * per] = True
     return masks
+
+
+def prefix_depth(n_prefix: int) -> int:
+    """Smallest k with 4**k >= n_prefix (enforced-prefix length)."""
+    k = 0
+    while 4 ** k < n_prefix:
+        k += 1
+    return k
+
+
+def row_prefix_masks(n_prefix: int) -> np.ndarray:
+    """(n_prefix, k, 4) bool per-depth symbol masks implementing an
+    AA..TT-style contiguous partition of the 4**k length-k DNA prefixes
+    into n_prefix rows (k = prefix_depth(n_prefix)).
+
+    Row r owns prefixes with base-4 index in [r*stride, (r+1)*stride),
+    stride = 4**k // n_prefix.  Because n_prefix is a power of two the
+    owned range is "aligned": at every depth the allowed symbols are
+    path-independent, so the ownership is exactly a per-depth mask —
+    which is what the mining engines consume (mirrors the reference's
+    one-enforcepath-per-server topology, metaenumerate.cpp:268-309)."""
+    if n_prefix & (n_prefix - 1):
+        raise ValueError("prefix rows must be a power of two")
+    k = prefix_depth(n_prefix)
+    if k == 0:
+        return np.ones((1, 0, 4), dtype=bool)
+    stride, rem = divmod(4 ** k, n_prefix)
+    if rem:
+        raise ValueError("prefix rows must divide 4**k")
+    masks = np.zeros((n_prefix, k, 4), dtype=bool)
+    for r in range(n_prefix):
+        lo, hi = r * stride, (r + 1) * stride
+        for d in range(k):
+            unit = 4 ** (k - 1 - d)
+            syms = {(i // unit) % 4 for i in range(lo, hi)}
+            masks[r, d, sorted(syms)] = True
+    return masks
+
+
+def prefixes_of_row(n_prefix: int, row: int) -> list[bytes]:
+    """The length-k DNA prefixes row `row` owns (contiguous partition,
+    matching row_prefix_masks)."""
+    k = prefix_depth(n_prefix)
+    stride = 4 ** k // n_prefix
+    bases = b"ACGT"
+    out = []
+    for i in range(row * stride, (row + 1) * stride):
+        digs = [(i // 4 ** (k - 1 - d)) % 4 for d in range(k)]
+        out.append(bytes(bases[x] for x in digs))
+    return out

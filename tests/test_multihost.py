@@ -1,0 +1,89 @@
+"""Multi-host mining: 2-process jax.distributed runs whose concatenated
+prefix-shard outputs equal the oracle (VERDICT r2 #4).
+
+Each worker process initializes jax.distributed against a shared
+coordinator, mines its owned prefix shards (episode engine on its local
+virtual CPU devices), and writes its lines; the parent merges and diffs
+against mine_np.  A second test drives `dsm mine --num-hosts` through
+the CLI without a coordinator (prefix ownership needs no cross-host
+traffic).
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+TOYDATA = os.path.join(HERE, "data", "toydata")
+
+WORKER = os.path.join(HERE, "multihost_worker.py")
+
+
+@pytest.fixture(scope="module")
+def oracle_lines():
+    from dsm_tpu.index.alphabet import transform
+    from dsm_tpu.index.fasta import read_fasta
+    from dsm_tpu.index.fmindex import FMIndex
+    from dsm_tpu.mining.config import MiningConfig
+    from dsm_tpu.mining.engine_np import mine_np
+
+    idxs = []
+    for path in sorted(glob.glob(os.path.join(TOYDATA, "toy*.fasta.gz"))):
+        idxs.append(FMIndex.from_texts(
+            [transform(rec.seq) for rec in read_fasta(path)]))
+    return mine_np(idxs, MiningConfig(fmin=2, emax=1.2)).format_lines()
+
+
+def test_two_process_distributed_prefix_shards(tmp_path, oracle_lines):
+    port = 57733
+    env = {**os.environ, "PYTHONPATH": REPO}
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2",
+             f"localhost:{port}", str(tmp_path / f"out{pid}.txt")],
+            env=env, cwd=REPO, stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE))
+    errs = [p.communicate()[1] for p in procs]
+    for p, e in zip(procs, errs):
+        assert p.returncode == 0, e.decode()
+
+    # concatenated shard outputs == oracle (same line set; compare the
+    # full bytes after a common sort)
+    want_sorted = b"".join(sorted(oracle_lines.splitlines(keepends=True)))
+    got_sorted = b"".join(sorted(
+        (tmp_path / "out0.txt").read_bytes().splitlines(keepends=True)
+        + (tmp_path / "out1.txt").read_bytes().splitlines(keepends=True)))
+    assert got_sorted == want_sorted
+
+
+def test_cli_mine_num_hosts(tmp_path, oracle_lines):
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO}
+    idxdir = tmp_path / "idx"
+    idxdir.mkdir()
+    paths = []
+    for fa in sorted(glob.glob(os.path.join(TOYDATA, "toy*.fasta.gz"))):
+        name = os.path.basename(fa)[: -len(".fasta.gz")]
+        dst = str(idxdir / (name + ".dsmi"))
+        p = subprocess.run([sys.executable, "-m", "dsm_tpu", "build", fa,
+                            "-o", dst], env=env, cwd=REPO,
+                           capture_output=True)
+        assert p.returncode == 0, p.stderr.decode()
+        paths.append(dst)
+    blobs = []
+    for hid in range(2):
+        p = subprocess.run(
+            [sys.executable, "-m", "dsm_tpu", "mine", "--engine", "numpy",
+             "-f", "2", "-E", "1.2", "--num-hosts", "2",
+             "--host-id", str(hid), *paths],
+            env=env, cwd=REPO, capture_output=True)
+        assert p.returncode == 0, p.stderr.decode()
+        blobs.append(p.stdout)
+    got = b"".join(sorted(b"".join(blobs).splitlines(keepends=True)))
+    want = b"".join(sorted(oracle_lines.splitlines(keepends=True)))
+    assert got == want

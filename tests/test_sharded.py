@@ -137,3 +137,37 @@ def test_episode_sharded_prefix(indexes):
         want = mine_np(indexes, cfg, prefix=prefix)
         got = mine_device_sharded(indexes, cfg, mesh=mesh, prefix=prefix)
         assert got.format_lines() == want.format_lines(), prefix
+
+
+def test_sharded_deep_prefix_rows(indexes):
+    """8 prefix rows = depth-2 AA..TT-style partition (VERDICT r2 #4 /
+    reference wrapper-SLURM 16/64-server hash arrays): ascending order
+    must equal the oracle; gnu order must equal what one reference
+    server per owned prefix would print (per-prefix gnu oracle runs)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from dsm_tpu.parallel.mesh import prefixes_of_row
+
+    mesh = make_mesh(8, 1)
+    cfg = MiningConfig(fmin=2, emax=1.2, maxdepth=9)
+    want = mine_np(indexes, cfg)
+    got = mine_sharded(indexes, cfg, mesh=mesh)
+    assert got.format_lines() == want.format_lines()
+    # each depth-1 node is traversed by the two rows owning its subtree
+    # halves, exactly like per-server "Number of paths" counters sum in
+    # the reference's multi-server topology (one enforced chain each)
+    assert got.total_paths == want.total_paths + 4
+
+    got = mine_sharded(indexes, cfg, mesh=mesh, reader_order="gnu")
+    merged = []
+    for r in range(8):
+        for p in prefixes_of_row(8, r):
+            merged.extend(mine_np(indexes, cfg, prefix=p,
+                                  reader_order="gnu").lines)
+    from dsm_tpu.mining.engine_np import MinedOutput
+
+    want_gnu = MinedOutput(lines=merged)
+    want_gnu.sort_postorder()
+    assert got.format_lines() == want_gnu.format_lines()
