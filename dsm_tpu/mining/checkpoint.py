@@ -35,8 +35,11 @@ from ..index.alphabet import EXT_CHARS
 from .config import MiningConfig
 from .engine_np import MinedOutput
 
-FORMAT = 4
-_STATE_KEYS = ("lo", "hi", "rlo", "nvalid", "depth", "total_paths",
+FORMAT = 5
+# the frontier is stored SPARSE: the live packed pair rows
+# (engine_device PC_* columns) — O(pairs) bytes, not O(nodes x samples),
+# so snapshots stay small at the reference's 273-sample scale
+_STATE_KEYS = ("pairs", "nvalid", "depth", "total_paths",
                "ent_min", "ent_max")
 
 
@@ -118,12 +121,9 @@ def save_checkpoint(path: str, state: dict, out: MinedOutput,
                     live_paths: list[bytes]) -> None:
     import jax
 
-    nvalid = int(state["nvalid"])
     host = {k: np.asarray(v) for k, v in jax.device_get(
         {k: state[k] for k in _STATE_KEYS}).items()}
     assert int(state["ocount"]) == 0, "checkpoint requires drained outputs"
-    for k in ("lo", "hi", "rlo"):
-        host[k] = host[k][:nvalid]
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez_compressed(

@@ -886,26 +886,17 @@ def mine_device(
                                                       prefix, dev.ns)
         cap = _auto_cap(dev, max(int(host_state["nvalid"]), cap))
         fresh = _seed_episode(dev, cap, hist_cap)
-        # re-sparsify the dense checkpointed frontier into parity half 0
-        lo_d = np.asarray(host_state.pop("lo"))
-        hi_d = np.asarray(host_state.pop("hi"))
-        rlo_d = np.asarray(host_state.pop("rlo"))
-        nid, sid = np.nonzero(hi_d > lo_d)
-        k = nid.shape[0]
-        prh = np.zeros((k, 8), dtype=np.int32)
-        prh[:, PC_LO] = lo_d[nid, sid]
-        prh[:, PC_HI] = hi_d[nid, sid]
-        prh[:, PC_RLO] = rlo_d[nid, sid]
-        prh[:, PC_SID] = sid
-        prh[:, PC_NID] = nid
+        # the snapshot stores the sparse pair rows directly (sorted by
+        # node id with contiguous runs, as the episode requires)
+        prh = np.asarray(host_state.pop("pairs"), dtype=np.int32)
+        k = prh.shape[0]
         fresh["pr"] = fresh["pr"].at[0, :k].set(prh)
         fresh["npairs"] = jnp.asarray(k, jnp.int32)
         n_nodes = int(host_state.pop("nvalid"))
         fresh["nnodes"] = jnp.asarray(n_nodes, jnp.int32)
-        # node -> first-pair boundaries (np.nonzero is nid-major, so the
-        # pair list is sorted + contiguous as the episode requires)
         nb_host = np.concatenate(
-            [[0], np.cumsum(np.bincount(nid, minlength=n_nodes))]
+            [[0], np.cumsum(np.bincount(prh[:, PC_NID],
+                                        minlength=n_nodes))]
         ).astype(np.int32)
         fresh["nb"] = fresh["nb"].at[0, :n_nodes + 1].set(nb_host)
         for key, v in host_state.items():
@@ -921,19 +912,17 @@ def mine_device(
 
     def _save() -> None:
         if checkpoint is not None:
+            import jax
+
             from .checkpoint import save_checkpoint
 
-            n, lo, hi, rlo, sid, nid = _pull_dense_frontier(state)
-            lo_d = np.zeros((n, d), dtype=np.int32)
-            hi_d = np.zeros((n, d), dtype=np.int32)
-            rlo_d = np.zeros((n, d), dtype=np.int32)
-            lo_d[nid, sid] = lo
-            hi_d[nid, sid] = hi
-            rlo_d[nid, sid] = rlo
+            n = int(state["nnodes"])
+            m = int(state["npairs"])
+            p = int(state["parity"])
+            prs = np.asarray(jax.device_get(state["pr"][p, :m]))
             live_paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
                                       np.full(n, int(state["depth"])))
-            view = dict(state, lo=lo_d, hi=hi_d, rlo=rlo_d,
-                        nvalid=state["nnodes"])
+            view = dict(state, pairs=prs, nvalid=state["nnodes"])
             save_checkpoint(checkpoint, view, out, cfg, prefix, dev.ns,
                             live_paths)
 

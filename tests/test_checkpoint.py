@@ -71,14 +71,14 @@ def test_checkpoint_rejects_other_config(small_indexes, tmp_path):
     dev = DeviceIndexes.build(small_indexes)
     import numpy as np_
 
-    state = __import__("dsm_tpu.mining.engine_device",
-                       fromlist=["_seed_episode"])._seed_episode(dev, 4096)
-    n, S = 1, dev.S
-    lo = np_.zeros((n, S), dtype=np_.int32)
-    hi = np_.zeros((n, S), dtype=np_.int32)
-    hi[0] = dev.ns
-    state = dict(state, lo=lo, hi=hi, rlo=np_.zeros((n, S), np_.int32),
-                 nvalid=state["nnodes"])
+    ed = __import__("dsm_tpu.mining.engine_device",
+                    fromlist=["_seed_episode"])
+    state = ed._seed_episode(dev, 4096)
+    S = dev.S
+    pairs = np_.zeros((S, 8), dtype=np_.int32)
+    pairs[:, ed.PC_HI] = dev.ns
+    pairs[:, ed.PC_SID] = np_.arange(S)
+    state = dict(state, pairs=pairs, nvalid=state["nnodes"])
     out = mine_np(small_indexes, MiningConfig(fmin=2, emax=1.2))
     cfg = MiningConfig(fmin=2, emax=1.2)
     ckpt_mod.save_checkpoint(ck, state, out, cfg, b"", dev.ns, [b""])

@@ -118,3 +118,51 @@ def test_engine_full_depth_small(small_indexes):
         # (engine_device module doc); output lines above are exact f64
         assert abs(got.smallest_entropy - want.smallest_entropy) < 5e-6
         assert abs(got.largest_entropy - want.largest_entropy) < 5e-6
+
+
+@pytest.fixture(scope="module")
+def many_sample_indexes(rng):
+    """64 tiny samples sharing a genome pool — proves the sparse pair
+    layout scales the sample axis (VERDICT r2 #9; the reference caps at
+    MAX_READERS=273, metaserver.cpp:19)."""
+    genome = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, size=400)]
+    idxs = []
+    for s in range(64):
+        texts = [transform(
+            genome[int(rng.integers(0, 340)):][:60].tobytes())
+            for _ in range(3)]
+        idxs.append(FMIndex.from_texts(texts))
+    return idxs
+
+
+def test_engine_many_samples(many_sample_indexes):
+    """Full-depth 64-sample mining on the episode engine vs the oracle;
+    memory stays O(pairs), not O(nodes x samples)."""
+    from dsm_tpu.mining.engine_device import mine_device
+
+    cfg = MiningConfig(fmin=2, emax=99)
+    want = mine_np(many_sample_indexes, cfg)
+    got = mine_device(many_sample_indexes, cfg)
+    assert got.format_lines() == want.format_lines()
+    assert got.total_paths == want.total_paths
+    assert np.array_equal(got.freq_histogram, want.freq_histogram)
+
+
+def test_engine_273_samples_reachable(rng):
+    """MAX_READERS-scale sample count (273, metaserver.cpp:19) runs end
+    to end on the episode engine (shallow config keeps CPU cost low)."""
+    from dsm_tpu.mining.engine_device import mine_device
+
+    base = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        rng.integers(0, 4, size=120)]
+    idxs = []
+    for s in range(273):
+        start = int(rng.integers(0, 80))
+        idxs.append(FMIndex.from_texts([transform(
+            base[start:start + 40].tobytes())]))
+    cfg = MiningConfig(fmin=2, emax=99, maxdepth=6)
+    want = mine_np(idxs, cfg)
+    got = mine_device(idxs, cfg)
+    assert got.format_lines() == want.format_lines()
+    assert got.total_paths == want.total_paths
