@@ -80,7 +80,7 @@ import numpy as np
 
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
-from ..ops.compact import compact_kidx
+from ..ops.compact import compact_kidx_sort
 from ..ops.rank import BLOCK, LOG2_BLOCK, occ_cum
 from .config import MiningConfig
 from .engine import DeviceIndexes, _occ_psum4, leftchar_codes_pairs
@@ -266,6 +266,7 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
         nlev=jnp.asarray(0, jnp.int32),
         out=jnp.zeros((ocap, 8), jnp.int32),
         ocount=jnp.asarray(0, jnp.int32),
+        boost=jnp.asarray(0, jnp.int32),
         total_paths=jnp.asarray(0, jnp.int32),
         ent_min=jnp.asarray(np.inf, jnp.float32),
         ent_max=jnp.asarray(-np.inf, jnp.float32),
@@ -421,11 +422,12 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
 
     nbs = lax.dynamic_slice(state["nb"], (par, 0), (1, B + 1))[0]
     validn = iota_b < U
-    a = jnp.where(validn, nbs[:B], 0)
-    b = jnp.where(validn, nbs[1:], 0)
-    d8 = jnp.take(cum, b, axis=0) - jnp.take(cum, a, axis=0)     # (B, 8)
+    # node boundaries are contiguous (start of node u+1 == end of node u),
+    # so ONE (B+1)-row gather at the boundary array yields both ends
+    gb = jnp.take(cum, jnp.clip(nbs, 0, B), axis=0)              # (B+1, 8)
+    d8 = jnp.where(validn[:, None], gb[1:] - gb[:-1], 0)         # (B, 8)
     cnt_local = d8[:, 4:8]                                       # (B, 4)
-    nact_local = jnp.where(validn, b - a, 0)
+    nact_local = jnp.where(validn, nbs[1:] - nbs[:B], 0)
     if axis_name is not None:
         # the trie merge: global per-node statistics over the mesh
         d8 = lax.psum(d8, axis_name)
@@ -478,8 +480,13 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     pcnt = jnp.where(exists, cnt_local, 0).T.reshape(4 * B)
     nbv = jnp.cumsum(pcnt) - pcnt                      # child's first pair
 
-    wn = min(4 * B, ncap)
-    kidx_n, _ = compact_kidx(E, wn)
+    # Moves are gathered at width B, not 4B: surviving children almost
+    # never outnumber the current bucket (frontiers grow < 2x past the
+    # seed levels), and when they do the level is REDONE one bucket up
+    # via `boost` — paying one cheap retry instead of 4x-wide gathers
+    # on every level.
+    wn = min(B, ncap)
+    kidx_n, _ = compact_kidx_sort(E, wn)
     rows_n = jnp.stack([hv, nbv], axis=1)              # (4B, 2)
     g_n = jnp.take(rows_n, kidx_n, axis=0)             # (wn, 2)
     woff = jnp.minimum(state["hist_len"], jnp.int32(hist_cap))
@@ -502,10 +509,28 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
         [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
          jnp.full((B, 1), depth, jnp.int32), jnp.zeros((B, 3), jnp.int32)],
         axis=1)                                        # (B, 8)
-    kidx_o, k_o = compact_kidx(oflag, B)
-    out = lax.dynamic_update_slice(
-        state["out"], jnp.take(orows, kidx_o, axis=0),
-        (jnp.minimum(state["ocount"], jnp.int32(ocap - B)), 0))
+    # most levels emit nothing (gates are tight in production configs):
+    # skip the compaction entirely then, and use a narrow gather when the
+    # level's emission is small — the full-B path runs only on bursts
+    k_o = jnp.sum(oflag, dtype=jnp.int32)
+
+    def emit_at(W, out):
+        kidx_o, _ = compact_kidx_sort(oflag, W)
+        return lax.dynamic_update_slice(
+            out, jnp.take(orows, kidx_o, axis=0),
+            (jnp.minimum(state["ocount"], jnp.int32(ocap - W)), 0))
+
+    OUT_W = DEV_MIN_CAP
+    if B <= OUT_W:
+        out = lax.cond(k_o == 0, lambda o: o,
+                       functools.partial(emit_at, B), state["out"])
+    else:
+        out = lax.cond(
+            k_o == 0, lambda o: o,
+            lambda o: lax.cond(k_o <= OUT_W,
+                               functools.partial(emit_at, OUT_W),
+                               functools.partial(emit_at, B), o),
+            state["out"])
     oc = state["ocount"] + k_o
 
     # ---- children: compact surviving pairs into the write half ---------
@@ -517,31 +542,39 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
          jnp.zeros((4, B), jnp.int32),
          jnp.zeros((4, B), jnp.int32),
          jnp.zeros((4, B), jnp.int32)], axis=2).reshape(4 * B, 8)
-    wp = min(4 * B, prow)
-    kidx_p, _ = compact_kidx(K, wp)
+    wp = min(B, prow)
+    kidx_p, _ = compact_kidx_sort(K, wp)
     newpr = jnp.take(childrows, kidx_p, axis=0)        # (wp, 8)
     pr = lax.dynamic_update_slice(state["pr"], newpr[None], (wpar, 0, 0))
 
     # ---- flags + commit (identical on every shard: per-shard
     # predicates are any-reduced over the mesh) ---------------------------
     grow = (child_total > ncap) | (pair_count > prow)
+    # survivors exceeded this level's B-wide moves (but fit the run
+    # capacity): redo the level at the next bucket size
+    refit = ~grow & ((pair_count > wp) | (child_total > wn))
     drain = oc > sc.out_reserve
     if axis_name is not None:
         grow = lax.psum(grow.astype(jnp.int32), axis_name) > 0
+        refit = lax.psum(refit.astype(jnp.int32), axis_name) > 0
         drain = lax.psum(drain.astype(jnp.int32), axis_name) > 0
     histfull = (state["hist_len"] + child_total > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
-    commit = ~(grow | histfull)
+    commit = ~(grow | histfull | refit)
+    boost = jnp.where(refit & ~histfull, state["boost"] + 1,
+                      jnp.where(commit, 0, state["boost"]))
     flag = jnp.where(
         grow, FLAG_GROW,
         jnp.where(
             histfull, FLAG_HISTFULL,
             jnp.where(
-                child_total == 0, FLAG_DONE,
-                jnp.where((child_total <= sc.tail_width)
-                          & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
-                          jnp.where(drain, FLAG_DRAIN,
-                                    FLAG_RUN))))).astype(jnp.int32)
+                refit, FLAG_RUN,
+                jnp.where(
+                    child_total == 0, FLAG_DONE,
+                    jnp.where((child_total <= sc.tail_width)
+                              & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
+                              jnp.where(drain, FLAG_DRAIN,
+                                        FLAG_RUN)))))).astype(jnp.int32)
 
     def keep_if(new, old):
         return jnp.where(commit, new, old)
@@ -562,6 +595,7 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
         nlev=keep_if(state["nlev"] + 1, state["nlev"]),
         out=out,
         ocount=keep_if(oc, state["ocount"]),
+        boost=boost,
         total_paths=keep_if(total_paths, state["total_paths"]),
         ent_min=keep_if(ent_min, state["ent_min"]),
         ent_max=keep_if(ent_max, state["ent_max"]),
@@ -593,7 +627,8 @@ def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
 
         def body(st):
             k = jnp.clip(_ceil_log2(jnp.maximum(st["npairs"],
-                                                st["nnodes"] + 1)),
+                                                st["nnodes"] + 1))
+                         + st["boost"],
                          LB_MIN, lb_max) - LB_MIN
             branches = [
                 functools.partial(_level_at_bucket, lb, frows, rrows, meta,
@@ -815,7 +850,7 @@ def _resize_state(state, dev: DeviceIndexes, cap: int, hist_cap: int):
     out = dict(fresh)
     for k in ("parity", "npairs", "nnodes", "depth", "hist_len", "nlev",
               "ocount", "total_paths", "ent_min", "ent_max", "flag",
-              "lvl_off"):
+              "lvl_off", "boost"):
         out[k] = state[k]
     ncopy = min(state["pr"].shape[1], fresh["pr"].shape[1])
     out["pr"] = fresh["pr"].at[:, :ncopy].set(state["pr"][:, :ncopy])

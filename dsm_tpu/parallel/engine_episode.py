@@ -114,7 +114,7 @@ def _specs(mesh):
                   for k in ("pr", "nb", "parity", "npairs", "nnodes",
                             "depth", "hist", "hist_len", "lvl_off", "nlev",
                             "out", "ocount", "total_paths", "ent_min",
-                            "ent_max", "flag")}
+                            "ent_max", "flag", "boost")}
     return sh, rep, state_spec
 
 
@@ -147,7 +147,8 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
 
         def body(st):
             np_max = lax.pmax(st["npairs"], SAMPLES_AXIS)
-            k = jnp.clip(_ceil_log2(jnp.maximum(np_max, st["nnodes"] + 1)),
+            k = jnp.clip(_ceil_log2(jnp.maximum(np_max, st["nnodes"] + 1))
+                         + st["boost"],
                          LB_MIN, lb_max) - LB_MIN
             branches = [
                 functools.partial(_level_at_bucket, lb, frows_flat, None,
