@@ -61,10 +61,15 @@ def make_dataset() -> list[str]:
 
 
 def build_indexes(fastas: list[str]):
+    import jax
+
     from dsm_tpu.index.alphabet import transform
     from dsm_tpu.index.fasta import read_fasta
     from dsm_tpu.index.fmindex import FMIndex
 
+    # construction runs on-accelerator (prefix-doubling over lax.sort,
+    # ops/sa.py); the host path is the small-input/CI fallback
+    backend = "numpy" if jax.default_backend() == "cpu" else "jax"
     idxs, secs = [], 0.0
     for path in fastas:
         cache = path + ".dtfmi"
@@ -73,7 +78,8 @@ def build_indexes(fastas: list[str]):
             continue
         texts = [transform(rec.seq) for rec in read_fasta(path)]
         t0 = time.perf_counter()
-        idx = FMIndex.from_texts(texts, names=[os.path.basename(path)])
+        idx = FMIndex.from_texts(texts, names=[os.path.basename(path)],
+                                 sa_backend=backend)
         secs += time.perf_counter() - t0
         idx.save(cache)
         idxs.append(idx)
@@ -214,8 +220,10 @@ def main() -> None:
     log(f"bench: ref   {ref['total_paths']} paths in {ref['mine_wall_s']:.2f}s "
         f"-> {ref_rate:,.0f} paths/s ({baseline_kind})")
     if ref["total_paths"] != out.total_paths:
-        log(f"bench: WARNING path-count mismatch ours={out.total_paths} "
-            f"ref={ref['total_paths']}")
+        raise SystemExit(
+            f"bench: path-count mismatch ours={out.total_paths} "
+            f"ref={ref['total_paths']} — a perf number from a wrong "
+            "traversal is meaningless, refusing to report one")
 
     print(json.dumps({
         "metric": "substrings_enumerated_per_s",
