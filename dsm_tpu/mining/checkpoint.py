@@ -38,7 +38,10 @@ from .engine_np import MinedOutput
 FORMAT = 5
 # the frontier is stored SPARSE: the live packed pair rows
 # (engine_device PC_* columns) — O(pairs) bytes, not O(nodes x samples),
-# so snapshots stay small at the reference's 273-sample scale
+# so snapshots stay small at the reference's 273-sample scale.
+# The episode's `boost` scalar is intentionally NOT here: 0 is always a
+# safe resume value (worst case one extra bucket-refit retry on the
+# first resumed level).
 _STATE_KEYS = ("pairs", "nvalid", "depth", "total_paths",
                "ent_min", "ent_max")
 

@@ -332,21 +332,26 @@ def mine_tpu(
     """Mine the cross-sample union trie on the accelerator.
 
     Same semantics and output as engine_np.mine_np (enforcepath via
-    `prefix`, all MiningConfig gates).  The default 'ascending' reader
-    order dispatches to the device-resident episode loop
-    (engine_device.mine_device — no per-level host round-trips), which
-    also supports checkpoint/resume; reader_order='gnu' (byte-exact
-    reference parity) keeps the per-level loop here, whose host emission
-    drives the order tracker.
+    `prefix`, all MiningConfig gates).  Both reader orders dispatch to
+    the device-resident episode loop (engine_device.mine_device — no
+    per-level host round-trips, checkpoint/resume): 'gnu' (byte-exact
+    reference parity) reconstructs set orders post hoc for the sparse
+    emitted paths (mining/gnulazy.py).  reader_order='level-gnu' keeps
+    the legacy per-level loop here, whose host emission drives the
+    per-level order tracker — retained as a differential oracle for the
+    lazy reconstruction (tests/test_gnuorder.py).
     """
     import jax.numpy as jnp
 
     cfg.validate()
-    if reader_order == "ascending":
+    if reader_order in ("ascending", "gnu"):
         from .engine_device import mine_device
 
         return mine_device(indexes, cfg, prefix=prefix, dev=dev, cap=cap,
-                           checkpoint=checkpoint)
+                           checkpoint=checkpoint,
+                           reader_order=reader_order)
+    if reader_order == "level-gnu":
+        reader_order = "gnu"
     if checkpoint is not None:
         raise ValueError("checkpointing requires reader_order='ascending'")
     if dev is None:

@@ -23,13 +23,13 @@ becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
     no per-level host round-trips, and nothing is chunked or
     serialized.  All per-node statistics are boundary differences of
     running prefix sums (packed as (B+1, 8) rows, gathered twice per
-    node); every compaction is a rank/select over a packed bitmask
-    (ops/compact.py) followed by one row gather — there is no sort
-    and no large scatter anywhere in the loop.  The pair list is
-    kept sorted by node id with each node's pairs contiguous — the
-    TPU-native form of the reference's d-stream lazy trie merge
-    (metaserver.cpp:269-486), where "streams meet at a node" becomes
-    "pairs of a node are adjacent";
+    node); every compaction is one `lax.sort` of index keys
+    (ops/compact.compact_kidx_sort — measured faster than the
+    rank/select alternative on current TPUs) followed by one row
+    gather.  The pair list is kept sorted by node id with each node's
+    pairs contiguous — the TPU-native form of the reference's d-stream
+    lazy trie merge (metaserver.cpp:269-486), where "streams meet at a
+    node" becomes "pairs of a node are adjacent";
   * capacity is FIXED per run (next_pow2 of the total text length,
     clamped) so the episode compiles exactly once; pair capacity gets
     2x headroom and a (rare) overflow still grows via FLAG_GROW;
@@ -59,9 +59,10 @@ becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
     or capacity overflow (only past the CAP_MAX clamp).
 
 Host work per episode is O(drained outputs), not O(trie bytes).
-Semantics are those of engine_np.mine_np in 'ascending' reader order;
-byte-exact gnu-order runs use the per-level engine
-(mine_tpu(reader_order='gnu')).
+Semantics are those of engine_np.mine_np; byte-exact gnu-order runs
+reconstruct the reference's libstdc++ set-iteration orders post hoc for
+the sparse emitted paths (mining/gnulazy.py) — the episode itself is
+order-independent.
 
 Entropy min/max *statistics* (stderr diagnostics in the reference,
 metaserver.cpp:390-394,805-813) are tracked in float32 here; the output
@@ -322,7 +323,8 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
                      axis_name: str | None = None,
                      s_total: int | None = None):
     """One trie level at static bucket width B = 2^LB >= max(P, U+1):
-    a single full-width vectorized pass (no chunking, no sorts).
+    a single full-width vectorized pass (no chunking, no host trips;
+    compactions are sort-based, see ops/compact.compact_kidx_sort).
 
     With `axis_name` the function is the shard_map body of the
     multi-device episode (parallel/engine_episode.py): the pair list,
@@ -340,7 +342,7 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     first (by parent node id), then C, G, T — which is exactly the
     c-major flatten order of the (B, 4) child tables, so ONE global
     cumsum over the flattened keep mask assigns every surviving child
-    pair its slot and ONE rank/select compaction (ops/compact.py)
+    pair its slot and ONE sort-based compaction (ops/compact.py)
     gathers them into the next level's packed rows.
 
     Stages (all width B or 4B):
@@ -352,8 +354,8 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
       gates    — output gates (metaserver.cpp:403-417; left-branching
                  deferred to drain), entropy stats, sym-major child
                  numbering, per-child history entries and next-level nb;
-      emit     — rank/select-compact gated pairs into the out rows;
-      children — rank/select-compact surviving child pairs into the
+      emit     — sort-compact gated pairs into the out rows;
+      children — sort-compact surviving child pairs into the
                  write half of the pair list.
 
     Committing flips the pair-list parity and advances the scalar
@@ -740,11 +742,15 @@ def _jitted_lc_pairs():
 
 
 def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
-           ph: PathHistory, seg_depth0: int, dev: DeviceIndexes) -> None:
+           ph: PathHistory, seg_depth0: int, dev: DeviceIndexes,
+           tracker=None) -> None:
     """Pull output-candidate pairs, apply the deferred left-branching
     gate (leftchar_codes_pairs on device for just these pairs), re-gate
     the entropy window in exact f64 per node, decode node paths on
-    device, and append formatted lines (ascending reader order)."""
+    device, and append formatted lines.  `tracker` (mining/gnulazy.py)
+    switches the emitted reader order and entropy accumulation to the
+    reference's libstdc++ set-iteration order; gates stay ascending-f64
+    exactly like the oracle (engine_np.emit_level)."""
     import jax
     import jax.numpy as jnp
 
@@ -794,11 +800,16 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
     paths = _decode_rows(state, ph, seg_depth0, grow_[keep], gdep[keep])
     for j, i in enumerate(keep):
         act = np.flatnonzero(active[i])
+        if tracker is None:
+            order, ent_val = act, float(ent[i])
+        else:
+            order = tracker.order_for(paths[j])
+            ent_val = tracker.entropy_for(paths[j], fmat[i], d)
         out.total_output += 1
         out.freq_histogram[act.size - 1] += 1
-        occs = [(int(r), int(fmat[i, r])) for r in act]
+        occs = [(int(r), int(fmat[i, r])) for r in order]
         out.total_occs += len(occs)
-        out.lines.append((paths[j], float(ent[i]), occs))
+        out.lines.append((paths[j], ent_val, occs))
 
 
 def _pull_dense_frontier(state):
@@ -815,7 +826,7 @@ def _pull_dense_frontier(state):
 
 
 def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
-                  seg_depth0: int, debug=False) -> None:
+                  seg_depth0: int, debug=False, tracker=None) -> None:
     """FLAG_TAIL: pull the (narrow) frontier and finish on the host
     (engine_np.mine_from_level) — thousands of thin deep levels cost
     microseconds each there vs a full device step each here."""
@@ -835,7 +846,8 @@ def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
     level = _Level(paths=paths, lo=lo_d, hi=hi_d, rlo=rlo_d)
     if debug:
         t0 = time.perf_counter()
-    mine_from_level(indexes, cfg, level, depth, out, prefix=prefix)
+    mine_from_level(indexes, cfg, level, depth, out, prefix=prefix,
+                    tracker=tracker)
     if debug:
         print(f"mine_device: host tail from depth {depth} width {n} "
               f"took {time.perf_counter() - t0:.2f}s",
@@ -872,12 +884,18 @@ def mine_device(
     tail_width: int = TAIL_WIDTH,
     out_reserve: int = OUT_RESERVE,
     checkpoint: str | None = None,
+    reader_order: str = "ascending",
 ) -> MinedOutput:
-    """Mine with the device-resident episode loop (ascending reader
-    order), handing narrow deep frontiers to the host wavefront.
-    Output lines/stats match engine_np.mine_np exactly except
-    smallest/largest-entropy diagnostics, which are f32-accurate for
-    the device-emitted part.
+    """Mine with the device-resident episode loop, handing narrow deep
+    frontiers to the host wavefront.  Output lines/stats match
+    engine_np.mine_np exactly except smallest/largest-entropy
+    diagnostics, which are f32-accurate for the device-emitted part.
+
+    reader_order='gnu' emits byte-exactly like the reference server
+    (libstdc++ set-iteration reader order, matching entropy accumulation
+    order): gated nodes are sparse, so their orders are reconstructed
+    post hoc per emitted path (mining/gnulazy.py) — the episode itself
+    runs identically.
 
     `cap` is a floor; the actual fixed node capacity is next_pow2(sum of
     text lengths) clamped to CAP_MAX, which no union level can exceed,
@@ -902,6 +920,14 @@ def mine_device(
             "shard the sample axis (parallel/engine_sharded.py)")
     d = dev.S
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
+    tracker = None
+    if reader_order == "gnu":
+        from .gnulazy import LazyGnuOrder
+
+        tracker = LazyGnuOrder(indexes, cfg.fmin, d,
+                               server_prefix_len=max(1, len(prefix)))
+    elif reader_order != "ascending":
+        raise ValueError(f"unknown reader_order {reader_order!r}")
     sc = _Scalars.build(cfg, tail_width=tail_width,
                         out_reserve=min(out_reserve, OUT_RESERVE))
     prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
@@ -978,10 +1004,10 @@ def mine_device(
             state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
             continue
         if flag == FLAG_DONE:
-            _drain(out, cfg, d, state, ph, seg_depth0, dev)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev, tracker)
             break
         if flag == FLAG_TAIL:
-            _drain(out, cfg, d, state, ph, seg_depth0, dev)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev, tracker)
             # fold device-side stats in BEFORE the host tail refines them
             out.total_paths += int(state["total_paths"])
             em, eM = float(state["ent_min"]), float(state["ent_max"])
@@ -990,18 +1016,18 @@ def mine_device(
             if np.isfinite(eM):
                 out.largest_entropy = max(out.largest_entropy, eM)
             _handoff_tail(indexes, cfg, prefix, out, state, ph, seg_depth0,
-                          debug=debug)
+                          debug=debug, tracker=tracker)
             if checkpoint is not None and os.path.exists(checkpoint):
                 os.unlink(checkpoint)
             out.sort_postorder()
             return out
         if flag == FLAG_DRAIN:
-            _drain(out, cfg, d, state, ph, seg_depth0, dev)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev, tracker)
             _save()
         elif flag == FLAG_HISTFULL:
             # outputs reference the current segment: decode them first,
             # then pull the finished levels and reset the device segment
-            _drain(out, cfg, d, state, ph, seg_depth0, dev)
+            _drain(out, cfg, d, state, ph, seg_depth0, dev, tracker)
             _pull_segment(ph, seg_depth0, state)
             seg_depth0 = int(state["depth"])
             _save()

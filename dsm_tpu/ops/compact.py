@@ -1,21 +1,22 @@
-"""Stream compaction on TPU via rank/select over packed bitmasks.
+"""Stream compaction on TPU: gather-index computation for keep-masks.
 
 The mining wavefront compacts surviving children / gated outputs into
-dense arrays every level.  XLA's general answers are all expensive on
-TPU: a stable argsort is a full bitonic network (~70 ms at 8M),
-scatter lowers through a sort (~55 ms), and jnp.searchsorted issues
-log2(N) scalar gathers per element.  Worse, any (N, k) intermediate
-with k < 128 that XLA lays out row-major is padded to 128 lanes by the
-(8, 128) tile — a (8M, 1) broadcast becomes a 4 GiB buffer.
+dense arrays every level.  PRODUCTION PATH: `compact_kidx_sort` — one
+`lax.sort` whose keys are the element indices where kept and n (sorts
+last) where dropped, so the sorted prefix IS the compaction index list.
+Measured on v5e at 8M elements: ~7 ms for the sort vs ~230 ms for the
+rank/select alternative below (TPU sort networks are ~2 ns/lane while
+1-D table gathers run at ~7-9 ns/element, so the O(n log^2 n) sort wins
+in practice).
 
-So this computes the compaction GATHER indices the same way an FM-index
-answers select queries — fitting, for a string-mining framework — using
-ONLY 1-D arrays: pack the keep mask into uint32 words (one word = one
-select block), popcount + prefix-sum the per-word counts, invert the
-(sorted) word-offset map with one word-count-sized scatter-max plus a
-cummax, then two 1-D gathers from word-count-sized tables (which fit in
-VMEM) and a 5-step branchless in-word bit select finish each output
-slot.  No sort, no 2-D temporary, no large scatter.
+RETAINED ALTERNATIVE: `compact_kidx` computes the same indices the way
+an FM-index answers select queries — pack the keep mask into uint32
+words, popcount + prefix-sum the per-word counts, invert the (sorted)
+word-offset map with a scatter-max plus a cummax, then two 1-D gathers
+from word-count-sized tables and a 5-step branchless in-word bit
+select.  It avoids sorting entirely and can win if a future toolchain
+speeds up small-table gathers; both paths are differentially tested
+against the NumPy oracle (tests/test_compact.py).
 
 Used by the device mining episode (mining/engine_device.py); the
 reference's equivalent moment is the implicit "append surviving child
@@ -85,15 +86,10 @@ def compact_kidx(mask, width: int):
 
 
 def compact_kidx_sort(mask, width: int):
-    """compact_kidx via one `lax.sort` — the fast form on current TPUs.
-
-    Same contract as compact_kidx.  Measured on v5e at 8M elements:
-    ~7 ms for the sort vs ~230 ms for the rank/select path (whose two
-    word-table 1-D gathers run at XLA's ~7 ns/element scalar-gather
-    rate, which dwarfs the O(n log^2 n) bitonic sort in practice).
-    Keys are the element indices where kept and n (sorts last) where
-    not, so the sorted prefix IS the compaction index list.
-    """
+    """compact_kidx via one `lax.sort` — the production path (see the
+    module docstring for the measured numbers).  Keys are the element
+    indices where kept and n (sorts last) where not, so the sorted
+    prefix IS the compaction index list."""
     import jax.numpy as jnp
     from jax import lax
 

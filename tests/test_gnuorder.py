@@ -109,11 +109,36 @@ def test_byte_exact_np(indexes, config):
     assert out.format_lines() == golden_bytes(config)
 
 
-def test_byte_exact_tpu(indexes):
+@pytest.mark.parametrize("config", list(CONFIGS))
+def test_byte_exact_tpu(indexes, config):
+    """Episode engine + post-hoc lazy gnu reconstruction
+    (mining/gnulazy.py) vs the frozen reference goldens."""
     from dsm_tpu.mining.engine import mine_tpu
 
-    out = mine_tpu(indexes, CONFIGS["default"], reader_order="gnu")
+    out = mine_tpu(indexes, CONFIGS[config], reader_order="gnu")
+    assert out.format_lines() == golden_bytes(config)
+
+
+def test_byte_exact_tpu_level_legacy(indexes):
+    """The retained per-level gnu tracker path still byte-matches."""
+    from dsm_tpu.mining.engine import mine_tpu
+
+    out = mine_tpu(indexes, CONFIGS["default"], reader_order="level-gnu")
     assert out.format_lines() == golden_bytes("default")
+
+
+def test_byte_exact_tpu_per_prefix(indexes):
+    """Per-prefix episode runs (enforcepath) in lazy gnu order must
+    byte-match each server's own golden."""
+    from dsm_tpu.mining.engine import mine_tpu
+
+    for prefix in "AC":
+        out = mine_tpu(indexes, CONFIGS["default"], prefix=prefix.encode(),
+                       reader_order="gnu")
+        with gzip.open(
+            os.path.join(GOLDEN, f"server-output.default.{prefix}.txt.gz")
+        ) as f:
+            assert out.format_lines() == f.read(), f"prefix {prefix}"
 
 
 def test_byte_exact_per_prefix(indexes):
