@@ -198,11 +198,9 @@ def cmd_mine(args) -> int:
     elif args.engine == "sharded-episode":
         from ..parallel.engine_episode import mine_device_sharded
 
-        if args.reader_order != "ascending":
-            _die("dsm mine: --engine sharded-episode supports "
-                 "--reader-order ascending only (use --engine sharded "
-                 "for gnu order)")
-        out = mine_device_sharded(indexes, cfg, prefix=prefix)
+        out = mine_device_sharded(indexes, cfg, prefix=prefix,
+                                  reader_order=args.reader_order,
+                                  checkpoint=args.checkpoint)
     else:
         from ..mining.engine import mine_tpu
 
@@ -379,16 +377,17 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--engine",
                    choices=["tpu", "numpy", "sharded", "sharded-episode"],
                    default="tpu",
-                   help="sharded: per-level mesh engine (gnu-order "
-                        "capable); sharded-episode: device-resident "
-                        "episode loop over a samples mesh")
+                   help="sharded: per-level mesh engine; sharded-episode: "
+                        "device-resident episode loop over a samples "
+                        "mesh (gnu-order and checkpoint capable)")
     m.add_argument("--reader-order", choices=["ascending", "gnu"],
                    default="ascending",
                    help="per-line reader order; 'gnu' replicates the "
                         "reference byte-exactly")
     m.add_argument("--checkpoint", default=None,
                    help="snapshot file written at episode exits and "
-                        "resumed from if present (tpu engine only)")
+                        "resumed from if present (tpu and "
+                        "sharded-episode engines)")
     m.add_argument("--num-hosts", type=_int_min(1, "--num-hosts"),
                    default=0,
                    help="multi-host prefix ownership: mine only this "

@@ -169,6 +169,25 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
     return jax.jit(fn, donate_argnums=(3,))
 
 
+def _auto_cap_sharded(dev, floor: int) -> int:
+    """Fixed node capacity, mirroring engine_device._auto_cap: no union
+    level exceeds the total indexed length (clamped; FLAG_GROW regrows
+    past the clamp)."""
+    total = int(np.asarray(dev.ns).sum())
+    return max(1 << LB_MIN, _next_pow2(floor),
+               min(_next_pow2(total + 1), 1 << 22))
+
+
+def _single_controller() -> bool:
+    """True when every mesh device belongs to this process — then a
+    sharded array's per-shard slices are directly addressable and the
+    drain can pull O(own shard) bytes instead of replicating everything
+    to every device (VERDICT r3 weak #6)."""
+    import jax
+
+    return jax.process_count() == 1
+
+
 @functools.cache
 def _jitted_gather_counts(mesh):
     """All-gather the per-shard (ocount, npairs) scalars so every host
@@ -207,7 +226,11 @@ def _jitted_gather_rows(mesh):
 
 
 @functools.cache
-def _jitted_lc_sharded(mesh):
+def _jitted_lc_sharded(mesh, replicate: bool = True):
+    """Per-shard leftChar codes for the drained out rows.  With
+    `replicate` the result is all-gathered (multi-controller drains need
+    every host to see it); without, it stays sharded and each shard's
+    slice is pulled locally — O(own shard) traffic."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -221,11 +244,13 @@ def _jitted_lc_sharded(mesh):
         sid = rows[0][:, OC_SID]
         lc = leftchar_codes_pairs(rflat, soff[sid], rows[0][:, OC_RLO],
                                   rows[0][:, OC_FREQ])
-        return lax.all_gather(lc, SAMPLES_AXIS)   # replicated to all hosts
+        if replicate:
+            return lax.all_gather(lc, SAMPLES_AXIS)
+        return lc[None]
 
     fn = _shard_map(shard_lc, mesh,
                     in_specs=(P(SAMPLES_AXIS), P(SAMPLES_AXIS)),
-                    out_specs=P())
+                    out_specs=P() if replicate else P(SAMPLES_AXIS))
     return jax.jit(fn)
 
 
@@ -273,10 +298,14 @@ def _seed_sharded_episode(dev: ShardedIndexes, n_shards: int, cap: int,
 
 def _drain_sharded(out: MinedOutput, cfg: MiningConfig, d: int, state,
                    ph: PathHistory, seg_depth0: int, dev: ShardedIndexes,
-                   mesh, n_shards: int) -> None:
+                   mesh, n_shards: int, tracker=None) -> None:
     """Pull every shard's gated pairs, map local sample ids to global,
     then the same f64 entropy re-gate + left-branching gate + on-device
-    path decode as the single-device drain."""
+    path decode as the single-device drain.
+
+    Single-controller runs pull each shard's own slice directly —
+    O(total gated pairs) transfer; only multi-controller runs pay the
+    replicating all-gather (remote shards are not addressable there)."""
     import jax
     import jax.numpy as jnp
 
@@ -289,21 +318,33 @@ def _drain_sharded(out: MinedOutput, cfg: MiningConfig, d: int, state,
     S_loc = dev.S // n_shards
     npad = min(_next_pow2(int(ocounts.max())), state["out"].shape[1])
     out_slice = state["out"][:, :npad]
-    lc_all = jax.device_get(_jitted_lc_sharded(mesh)(dev.rrows, out_slice))
-    orows = jax.device_get(_jitted_gather_rows(mesh)(out_slice))
+    single = _single_controller()
+    lc_all = _jitted_lc_sharded(mesh, replicate=not single)(
+        dev.rrows, out_slice)
+    if single:
+        # per-shard pulls of exactly the counted rows (sharded arrays:
+        # slicing shard k touches only its device)
+        orows = [np.asarray(jax.device_get(out_slice[k, :int(ocounts[k])]))
+                 for k in range(n_shards)]
+        lcs_all = [np.asarray(jax.device_get(lc_all[k, :int(ocounts[k])]))
+                   for k in range(n_shards)]
+    else:
+        g = np.asarray(jax.device_get(_jitted_gather_rows(mesh)(out_slice)))
+        orows = [g[k, :int(ocounts[k])] for k in range(n_shards)]
+        lc_host = np.asarray(jax.device_get(lc_all))
+        lcs_all = [lc_host[k, :int(ocounts[k])] for k in range(n_shards)]
     state["ocount"] = jnp.zeros_like(state["ocount"])
 
     freqs, sids, rows_, depths, lcs = [], [], [], [], []
     for k in range(n_shards):
-        n_k = int(ocounts[k])
-        if n_k == 0:
+        if not int(ocounts[k]):
             continue
-        o = orows[k, :n_k]
+        o = orows[k]
         freqs.append(o[:, OC_FREQ])
         sids.append(o[:, OC_SID] + k * S_loc)   # local -> global sample id
         rows_.append(o[:, OC_ROW])
         depths.append(o[:, OC_DEPTH])
-        lcs.append(lc_all[k, :n_k])
+        lcs.append(lcs_all[k])
     freq = np.concatenate(freqs)
     sid = np.concatenate(sids)
     rows = np.concatenate(rows_)
@@ -340,38 +381,139 @@ def _drain_sharded(out: MinedOutput, cfg: MiningConfig, d: int, state,
     paths = _decode_rows(state, ph, seg_depth0, grow_[keep], gdep[keep])
     for j, i in enumerate(keep):
         act = np.flatnonzero(active[i])
+        if tracker is None:
+            order, ent_val = act, float(ent[i])
+        else:
+            order = tracker.order_for(paths[j])
+            ent_val = tracker.entropy_for(paths[j], fmat[i], d)
         out.total_output += 1
         out.freq_histogram[act.size - 1] += 1
-        occs = [(int(r), int(fmat[i, r])) for r in act]
+        occs = [(int(r), int(fmat[i, r])) for r in order]
         out.total_occs += len(occs)
-        out.lines.append((paths[j], float(ent[i]), occs))
+        out.lines.append((paths[j], ent_val, occs))
 
 
-def _pull_dense_sharded(state, dev: ShardedIndexes, n_shards: int, mesh):
-    """(nnodes, S) dense interval arrays from every shard's pair list
-    (all-gathered so it works in multi-controller runs)."""
+def _gather_live_pairs(state, mesh, n_shards: int):
+    """Per-shard live pair rows (host numpy): direct per-shard pulls in
+    single-controller runs, replicated all-gather otherwise.  Returns
+    (list of (m_k, 8) arrays, per-shard counts)."""
     import jax
 
-    n = int(state["nnodes"])
-    S = dev.S
-    S_loc = S // n_shards
     _, counts = _jitted_gather_counts(mesh)(state["ocount"],
                                             state["npairs"])
     counts = np.asarray(jax.device_get(counts))
     p = int(state["parity"])
-    m = int(counts.max())
-    prs = np.asarray(jax.device_get(
-        _jitted_gather_rows(mesh)(state["pr"][:, p, :m])))
+    m = max(int(counts.max()), 1)
+    sl = state["pr"][:, p, :m]
+    if _single_controller():
+        parts = [np.asarray(jax.device_get(sl[k, :int(counts[k])]))
+                 for k in range(n_shards)]
+    else:
+        g = np.asarray(jax.device_get(_jitted_gather_rows(mesh)(sl)))
+        parts = [g[k, :int(counts[k])] for k in range(n_shards)]
+    return parts, counts
+
+
+def _pull_dense_sharded(state, dev: ShardedIndexes, n_shards: int, mesh):
+    """(nnodes, S) dense interval arrays from every shard's pair list."""
+    n = int(state["nnodes"])
+    S = dev.S
+    S_loc = S // n_shards
+    parts, _ = _gather_live_pairs(state, mesh, n_shards)
     lo_d = np.zeros((n, S), dtype=np.int64)
     hi_d = np.zeros((n, S), dtype=np.int64)
     rlo_d = np.zeros((n, S), dtype=np.int64)
-    for k in range(n_shards):
-        o = prs[k, : int(counts[k])]
+    for k, o in enumerate(parts):
         gsid = o[:, PC_SID] + k * S_loc
         lo_d[o[:, PC_NID], gsid] = o[:, PC_LO]
         hi_d[o[:, PC_NID], gsid] = o[:, PC_HI]
         rlo_d[o[:, PC_NID], gsid] = o[:, PC_RLO]
     return n, lo_d, hi_d, rlo_d
+
+
+def _stack_pairs_by_shard(pairs_global: np.ndarray, n_shards: int,
+                          S_loc: int, n_nodes: int, prow: int, nbrow: int):
+    """Split canonical (nid-sorted, ascending global sid) pair rows into
+    per-shard pr[0]/nb[0]/npairs arrays (local sample ids)."""
+    prs = np.zeros((n_shards, prow, 8), dtype=np.int32)
+    nbs = np.zeros((n_shards, nbrow), dtype=np.int32)
+    nps = np.zeros(n_shards, dtype=np.int32)
+    shard_of = pairs_global[:, PC_SID] // S_loc
+    for k in range(n_shards):
+        rows = pairs_global[shard_of == k]
+        m = rows.shape[0]
+        loc = rows.copy()
+        loc[:, PC_SID] -= k * S_loc
+        prs[k, :m] = loc
+        nps[k] = m
+        nbs[k, :n_nodes + 1] = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows[:, PC_NID],
+                                        minlength=n_nodes))]
+        ).astype(np.int32)
+    return prs, nbs, nps
+
+
+def _resize_sharded(state, dev: ShardedIndexes, n_shards: int,
+                    new_cap: int, hist_cap: int, mesh):
+    """FLAG_GROW recovery: re-bucket every capacity-dependent buffer at
+    `new_cap`, preserving each shard's live pair list, the replicated
+    history segment, and any undraned output rows (the stacked-layout
+    port of engine_device._resize_state).  The overflowed level never
+    committed, so the redo replays it at the larger capacity."""
+    import jax
+    import jax.numpy as jnp
+
+    parts, _ = _gather_live_pairs(state, mesh, n_shards)
+    ocounts, _ = _jitted_gather_counts(mesh)(state["ocount"],
+                                             state["npairs"])
+    ocounts = np.asarray(jax.device_get(ocounts))
+    n_nodes = int(state["nnodes"])
+    fresh = _seed_sharded_episode(dev, n_shards, new_cap, hist_cap)
+    prow = fresh["pr"].shape[2]
+    nbrow = fresh["nb"].shape[2]
+    ocap = fresh["out"].shape[1]
+
+    prs = np.zeros((n_shards, prow, 8), dtype=np.int32)
+    nbs = np.zeros((n_shards, nbrow), dtype=np.int32)
+    nps = np.zeros(n_shards, dtype=np.int32)
+    outs = np.zeros((n_shards, ocap, 8), dtype=np.int32)
+    old_out = None
+    if int(ocounts.sum()):
+        if _single_controller():
+            old_out = [np.asarray(jax.device_get(
+                state["out"][k, :int(ocounts[k])]))
+                for k in range(n_shards)]
+        else:
+            npad = min(_next_pow2(max(int(ocounts.max()), 1)),
+                       state["out"].shape[1])
+            g = np.asarray(jax.device_get(
+                _jitted_gather_rows(mesh)(state["out"][:, :npad])))
+            old_out = [g[k, :int(ocounts[k])] for k in range(n_shards)]
+    for k, rows in enumerate(parts):
+        m = rows.shape[0]
+        prs[k, :m] = rows
+        nps[k] = m
+        nbs[k, :n_nodes + 1] = np.concatenate(
+            [[0], np.cumsum(np.bincount(rows[:, PC_NID],
+                                        minlength=n_nodes))]
+        ).astype(np.int32)
+        if old_out is not None:
+            outs[k, :old_out[k].shape[0]] = old_out[k]
+
+    new = dict(fresh)
+    new["pr"] = fresh["pr"].at[:, 0].set(jnp.asarray(prs))
+    new["nb"] = fresh["nb"].at[:, 0].set(jnp.asarray(nbs))
+    new["npairs"] = jnp.asarray(nps)
+    new["out"] = jnp.asarray(outs)
+    new["ocount"] = state["ocount"]
+    new["parity"] = jnp.asarray(0, jnp.int32)
+    for k in ("nnodes", "depth", "hist_len", "nlev", "lvl_off",
+              "total_paths", "ent_min", "ent_max", "boost"):
+        new[k] = state[k]
+    hn = min(state["hist"].shape[0], fresh["hist"].shape[0])
+    new["hist"] = fresh["hist"].at[:hn].set(state["hist"][:hn])
+    new["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
+    return new
 
 
 def mine_device_sharded(
@@ -382,14 +524,24 @@ def mine_device_sharded(
     cap: int = 1 << LB_MIN,
     tail_width: int = TAIL_WIDTH,
     out_reserve: int = OUT_RESERVE,
+    checkpoint: str | None = None,
+    reader_order: str = "ascending",
 ) -> MinedOutput:
     """Device-resident episode mining over a samples-sharded mesh.
 
-    Same output as engine_np.mine_np / mine_device (ascending reader
-    order, enforcepath `prefix`).  Trie-prefix partitioning composes the
-    way the reference composes it — run one episode per prefix shard
-    (wrapper-SLURM/example-server.sh topology), each with its own mesh
-    or host (parallel/multihost.py).
+    Same output as engine_np.mine_np / mine_device (enforcepath
+    `prefix`; reader_order='gnu' for byte-exact reference parity via
+    post-hoc order reconstruction, mining/gnulazy.py).  Trie-prefix
+    partitioning composes the way the reference composes it — run one
+    episode per prefix shard (wrapper-SLURM/example-server.sh topology),
+    each with its own mesh or host (parallel/multihost.py).
+
+    `checkpoint` snapshots at every drain-type exit and resumes when the
+    file exists; snapshots store GLOBAL sample ids in canonical (node,
+    sample) order, so they interchange with single-device mine_device
+    checkpoints and with runs at a different shard count.  Capacity
+    overflow regrows and replays the uncommitted level (FLAG_GROW),
+    matching the single-device engine.
     """
     import jax
     import jax.numpy as jnp
@@ -410,21 +562,80 @@ def mine_device_sharded(
     pad_to = -(-d // n_shards) * n_shards
     dev = ShardedIndexes.build(indexes, pad_to=pad_to)
     S_loc = dev.S // n_shards
+    real_ns = np.array([idx.n for idx in indexes], dtype=np.int64)
 
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
+    tracker = None
+    if reader_order == "gnu":
+        from ..mining.gnulazy import LazyGnuOrder
+
+        tracker = LazyGnuOrder(indexes, cfg.fmin, d,
+                               server_prefix_len=max(1, len(prefix)))
+    elif reader_order != "ascending":
+        raise ValueError(f"unknown reader_order {reader_order!r}")
     sc = _Scalars.build(cfg, tail_width=tail_width,
                         out_reserve=min(out_reserve, OUT_RESERVE))
     prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
     debug = os.environ.get("DSM_DEBUG") == "1"
     t0 = time.perf_counter()
 
-    total = int(np.asarray(dev.ns).sum())
-    cap = max(1 << LB_MIN, _next_pow2(cap),
-              min(_next_pow2(total + 1), 1 << 22))
+    cap = _auto_cap_sharded(dev, cap)
     hist_cap = _hist_cap(type("F", (), {"ns": np.asarray(dev.ns)})())
     state = _seed_sharded_episode(dev, n_shards, cap, hist_cap)
     ph = PathHistory()
     seg_depth0 = 0
+    if checkpoint is not None and os.path.exists(checkpoint):
+        from ..mining.checkpoint import load_checkpoint
+
+        host_state, out, base_paths = load_checkpoint(checkpoint, cfg,
+                                                      prefix, real_ns)
+        cap = max(cap, _next_pow2(int(host_state["nvalid"])))
+        fresh = _seed_sharded_episode(dev, n_shards, cap, hist_cap)
+        pairs = np.asarray(host_state.pop("pairs"), dtype=np.int32)
+        n_nodes = int(host_state.pop("nvalid"))
+        prs, nbs, nps = _stack_pairs_by_shard(
+            pairs, n_shards, S_loc, n_nodes,
+            fresh["pr"].shape[2], fresh["nb"].shape[2])
+        fresh["pr"] = fresh["pr"].at[:, 0].set(jnp.asarray(prs))
+        fresh["nb"] = fresh["nb"].at[:, 0].set(jnp.asarray(nbs))
+        fresh["npairs"] = jnp.asarray(nps)
+        fresh["nnodes"] = jnp.asarray(n_nodes, jnp.int32)
+        for key, v in host_state.items():
+            fresh[key] = jnp.asarray(v)
+        fresh["parity"] = jnp.asarray(0, jnp.int32)
+        fresh["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
+        state = fresh
+        seg_depth0 = int(state["depth"])
+        ph = PathHistory(base_depth=seg_depth0, base_paths=base_paths)
+        if debug:
+            print(f"mine_device_sharded: resumed depth={seg_depth0} "
+                  f"nnodes={int(state['nnodes'])}", file=sys.stderr)
+
+    def _save() -> None:
+        if checkpoint is None:
+            return
+        from ..mining.checkpoint import save_checkpoint
+
+        parts, _ = _gather_live_pairs(state, mesh, n_shards)
+        glob = []
+        for k, rows in enumerate(parts):
+            g = rows.copy()
+            g[:, PC_SID] += k * S_loc
+            glob.append(g)
+        pairs = np.concatenate(glob) if glob else np.zeros((0, 8), np.int32)
+        # canonical order: by node id, ascending global sample id
+        pairs = pairs[np.lexsort((pairs[:, PC_SID], pairs[:, PC_NID]))]
+        n = int(state["nnodes"])
+        live_paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
+                                  np.full(n, int(state["depth"])))
+        view = {"pairs": pairs, "nvalid": state["nnodes"],
+                "depth": state["depth"],
+                "total_paths": state["total_paths"],
+                "ent_min": state["ent_min"], "ent_max": state["ent_max"],
+                "ocount": int(np.asarray(jax.device_get(
+                    state["ocount"])).sum())}
+        save_checkpoint(checkpoint, view, out, cfg, prefix, real_ns,
+                        live_paths)
 
     while True:
         fn = _jitted_episode_sharded(mesh, cap, hist_cap, S_loc,
@@ -438,17 +649,18 @@ def mine_device_sharded(
                   f"t={time.perf_counter() - t0:.1f}s",
                   file=sys.stderr, flush=True)
         if flag == FLAG_GROW:
-            # rare: reseed at larger capacity and replay the live pairs
-            raise NotImplementedError(
-                "sharded episode frontier exceeded fixed capacity; rerun "
-                f"with cap={cap * GROWTH}")
+            # rare: re-bucket at larger capacity, replay the live pairs
+            cap *= GROWTH
+            state = _resize_sharded(state, dev, n_shards, cap, hist_cap,
+                                    mesh)
+            continue
         if flag == FLAG_DONE:
             _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
-                           n_shards)
+                           n_shards, tracker)
             break
         if flag == FLAG_TAIL:
             _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
-                           n_shards)
+                           n_shards, tracker)
             out.total_paths += int(state["total_paths"])
             em, eM = float(state["ent_min"]), float(state["ent_max"])
             if np.isfinite(em):
@@ -464,22 +676,29 @@ def mine_device_sharded(
 
             level = _Level(paths=paths, lo=lo_d[:, :d], hi=hi_d[:, :d],
                            rlo=rlo_d[:, :d])
-            mine_from_level(indexes, cfg, level, depth, out, prefix=prefix)
+            mine_from_level(indexes, cfg, level, depth, out, prefix=prefix,
+                            tracker=tracker)
+            if checkpoint is not None and os.path.exists(checkpoint):
+                os.unlink(checkpoint)
             out.sort_postorder()
             return out
         if flag == FLAG_DRAIN:
             _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
-                           n_shards)
+                           n_shards, tracker)
+            _save()
         elif flag == FLAG_HISTFULL:
             _drain_sharded(out, cfg, d, state, ph, seg_depth0, dev, mesh,
-                           n_shards)
+                           n_shards, tracker)
             _pull_segment(ph, seg_depth0, state)
             seg_depth0 = int(state["depth"])
+            _save()
         state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
 
     out.total_paths = int(state["total_paths"])
     em, eM = float(state["ent_min"]), float(state["ent_max"])
     out.smallest_entropy = em if np.isfinite(em) else 1000.0
     out.largest_entropy = eM if np.isfinite(eM) else -1000.0
+    if checkpoint is not None and os.path.exists(checkpoint):
+        os.unlink(checkpoint)
     out.sort_postorder()
     return out

@@ -139,6 +139,136 @@ def test_episode_sharded_prefix(indexes):
         assert got.format_lines() == want.format_lines(), prefix
 
 
+def test_episode_sharded_gnu(indexes):
+    """VERDICT r3 #2: gnu reader order on the sharded episode — output
+    bytes must equal the per-level gnu oracle (lazy post-hoc
+    reconstruction, mining/gnulazy.py)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from dsm_tpu.parallel.engine_episode import mine_device_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("samples",))
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    want = mine_np(indexes, cfg, reader_order="gnu")
+    got = mine_device_sharded(indexes, cfg, mesh=mesh, reader_order="gnu")
+    assert got.format_lines() == want.format_lines()
+    assert got.total_output == want.total_output
+
+
+def test_episode_sharded_checkpoint_resume(indexes, tmp_path):
+    """VERDICT r3 #2: kill/resume on the sharded episode.  A first run
+    with a tiny drain threshold writes snapshots and is abandoned
+    mid-flight; the resumed run must produce byte-identical output."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from dsm_tpu.parallel.engine_episode import mine_device_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("samples",))
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    want = mine_np(indexes, cfg)
+    ck = str(tmp_path / "shard.ckpt")
+
+    # run once with frequent drains so snapshots exist, keep the LAST
+    # mid-flight snapshot by copying it out from under the finished run
+    snap = str(tmp_path / "kept.ckpt")
+    import shutil
+
+    class _Spy:
+        count = 0
+
+    from dsm_tpu.mining import checkpoint as ckmod
+
+    orig = ckmod.save_checkpoint
+
+    def spy(path, *a, **kw):
+        orig(path, *a, **kw)
+        _Spy.count += 1
+        shutil.copy(path, snap)
+
+    ckmod.save_checkpoint = spy
+    try:
+        first = mine_device_sharded(indexes, cfg, mesh=mesh, checkpoint=ck,
+                                    out_reserve=64)
+    finally:
+        ckmod.save_checkpoint = orig
+    assert first.format_lines() == want.format_lines()
+    assert _Spy.count > 0, "no snapshot was ever written"
+    assert not os.path.exists(ck), "finished run must remove its snapshot"
+
+    # resume from the kept mid-flight snapshot: same bytes
+    shutil.copy(snap, ck)
+    resumed = mine_device_sharded(indexes, cfg, mesh=mesh, checkpoint=ck)
+    assert resumed.format_lines() == want.format_lines()
+    assert resumed.total_paths == want.total_paths
+    assert not os.path.exists(ck)
+
+
+def test_episode_sharded_checkpoint_cross_engine(indexes, tmp_path):
+    """Sharded snapshots store global sample ids in canonical order, so
+    the single-device episode can resume them (and vice versa)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    import shutil
+
+    from dsm_tpu.mining import checkpoint as ckmod
+    from dsm_tpu.mining.engine_device import mine_device
+    from dsm_tpu.parallel.engine_episode import mine_device_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("samples",))
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    want = mine_np(indexes, cfg)
+    ck = str(tmp_path / "x.ckpt")
+    snap = str(tmp_path / "xkept.ckpt")
+    orig = ckmod.save_checkpoint
+
+    def spy(path, *a, **kw):
+        orig(path, *a, **kw)
+        shutil.copy(path, snap)
+
+    ckmod.save_checkpoint = spy
+    try:
+        mine_device_sharded(indexes, cfg, mesh=mesh, checkpoint=ck,
+                            out_reserve=64)
+    finally:
+        ckmod.save_checkpoint = orig
+    shutil.copy(snap, ck)
+    resumed = mine_device(indexes, cfg, checkpoint=ck)
+    assert resumed.format_lines() == want.format_lines()
+
+
+def test_episode_sharded_regrow(indexes):
+    """VERDICT r3 #2: forced tiny-cap overflow must regrow (FLAG_GROW →
+    _resize_sharded) and still match the oracle."""
+    import jax
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    from dsm_tpu.parallel import engine_episode as ee
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("samples",))
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    want = mine_np(indexes, cfg)
+    # the natural cap (next_pow2 of total length) never overflows; force
+    # the LB_MIN floor so the widest level trips FLAG_GROW
+    import unittest.mock as mock
+
+    with mock.patch.object(ee, "_auto_cap_sharded",
+                           side_effect=lambda dev, floor: 8192):
+        got = ee.mine_device_sharded(indexes, cfg, mesh=mesh)
+    assert got.format_lines() == want.format_lines()
+    assert got.total_paths == want.total_paths
+
+
 def test_sharded_deep_prefix_rows(indexes):
     """8 prefix rows = depth-2 AA..TT-style partition (VERDICT r2 #4 /
     reference wrapper-SLURM 16/64-server hash arrays): ascending order
