@@ -58,9 +58,12 @@ EXT4 = (2, 3, 4, 6)  # codes of A, C, G, T (alphabet.EXT_CODES as a tuple)
 class DeviceIndexes:
     """S per-sample bidirectional occ tables stacked onto one device.
 
-    frows/rrows: (sum_s nb_s+1, ROWW) uint32 fused rows, forward/reverse;
+    frows/rrows: (sum_s nb_s+1, ROWW) uint32 fused rows, forward/reverse,
+    with the per-sample C4 base constants BAKED into the cum columns
+    (fused_rows c4=) so expansion needs no runtime C4 gather/add;
     soff: (S,) int32 per-sample row offsets (same for both directions);
-    C4/C4hi: (S, 4) int32 C[c] / C[c+1] for c in A,C,G,T.
+    C4/C4hi: (S, 4) int32 C[c] / C[c+1] for c in A,C,G,T (drain-side
+    bookkeeping only — never added during expansion).
     """
 
     S: int
@@ -90,8 +93,9 @@ class DeviceIndexes:
         ns = np.zeros(S, dtype=np.int64)
         off = 0
         for s, idx in enumerate(indexes):
-            fr = fused_rows(idx.table)
-            rr = fused_rows(idx.rtable)
+            c4 = [idx.C[c] for c in EXT4]
+            fr = fused_rows(idx.table, c4=c4)
+            rr = fused_rows(idx.rtable, c4=c4)
             assert fr.shape == rr.shape
             fparts.append(fr)
             rparts.append(rr)
@@ -169,7 +173,7 @@ def leftchar_codes(rrows, soff, rlo, freq):
     ).astype(jnp.int8)
 
 
-def expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin,
+def expand_core(frows, rrows, soff, lo, hi, rlo, valid, fmin,
                 with_lc: bool = True):
     """Shared per-shard expansion: 4-way LF of every (node, sample)'s
     forward interval, the children's synchronized reverse starts (prefix
@@ -198,8 +202,10 @@ def expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin,
 
     parent_active = (hi > lo) & valid[:, None]               # (CAP, S)
     pa3 = parent_active[:, :, None]
-    clo = jnp.where(pa3, C4[None] + occ_lo, 0)
-    chi = jnp.where(pa3, C4[None] + occ_hi, 0)
+    # C4 is baked into the occ tables (fused_rows c4=): occ_lo/occ_hi
+    # already ARE the child interval bounds
+    clo = jnp.where(pa3, occ_lo, 0)
+    chi = jnp.where(pa3, occ_hi, 0)
     crlo = jnp.where(pa3, rlo[:, :, None] + psum_hi - psum_lo, 0)
     cfreq = chi - clo
     cactive = pa3 & (cfreq >= fmin)                          # (CAP, S, 4)
@@ -263,10 +269,10 @@ def compact_children(union_child, core):
     )
 
 
-def _level_step_impl(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin,
+def _level_step_impl(frows, rrows, soff, lo, hi, rlo, valid, fmin,
                      sym_mask):
     """Single-device step: expand + analyze + compact one frontier level."""
-    core = expand_core(frows, rrows, soff, C4, lo, hi, rlo, valid, fmin)
+    core = expand_core(frows, rrows, soff, lo, hi, rlo, valid, fmin)
     union_child = (core["child_counts"] > 0) & sym_mask[None, :]   # (CAP, 4)
     single_full = analyze_children(union_child, core["child_counts"],
                                    core["nactive"])
@@ -385,7 +391,7 @@ def mine_tpu(
         else:
             sym_mask = masks["all"]
 
-        res = _level_step(dev.frows, dev.rrows, dev.soff, dev.C4, *state,
+        res = _level_step(dev.frows, dev.rrows, dev.soff, *state,
                           fmin, sym_mask)
         child_count = int(res["child_count"])
         if child_count > state[0].shape[0]:

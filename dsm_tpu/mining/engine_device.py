@@ -101,8 +101,10 @@ MAX_SAMPLES = 512      # _nln_windows int32 bound (see _NLN_FP derivation)
 (FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_HISTFULL,
  FLAG_TAIL) = range(6)
 
-# packed pair-row columns ((PROW, 8) int32)
-PC_LO, PC_HI, PC_RLO, PC_SID, PC_NID = range(5)
+# packed pair-row columns ((PROW, 8) int32); PC_SOFF carries the pair's
+# per-sample occ-table row offset so expansion needs NO per-pair meta
+# gather (C4 is baked into the tables themselves, fused_rows c4=)
+PC_LO, PC_HI, PC_RLO, PC_SID, PC_NID, PC_SOFF = range(6)
 # packed output-row columns ((ocap, 8) int32)
 OC_FREQ, OC_RLO, OC_SID, OC_ROW, OC_DEPTH = range(5)
 
@@ -218,17 +220,6 @@ class _Scalars:
                 self.tail_width, self.out_reserve)
 
 
-def _sample_meta(dev: DeviceIndexes):
-    """(S, 8) int32 per-sample rows: [soff, C4(A,C,G,T), 0, 0, 0] — one
-    row gather per pair replaces separate scalar soff/C4 lookups."""
-    import jax.numpy as jnp
-
-    meta = jnp.zeros((dev.S, 8), jnp.int32)
-    meta = meta.at[:, 0].set(jnp.asarray(dev.soff, jnp.int32))
-    meta = meta.at[:, 1:5].set(jnp.asarray(dev.C4, jnp.int32))
-    return meta
-
-
 def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     """Fresh episode state.
 
@@ -254,6 +245,7 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     pr = jnp.zeros((2, prow, 8), jnp.int32)
     pr = pr.at[0, :S, PC_HI].set(ns32)
     pr = pr.at[0, :S, PC_SID].set(sid0)
+    pr = pr.at[0, :S, PC_SOFF].set(jnp.asarray(dev.soff, jnp.int32))
     return dict(
         pr=pr,
         nb=jnp.zeros((2, nbrow), jnp.int32).at[0, 1].set(S),
@@ -318,10 +310,9 @@ def _nln_value(d3):
             * np.float32(2.0 ** -_NLN_FP))
 
 
-def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
+def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
                      sc: _Scalars, prefix_codes, hist_cap, state,
-                     axis_name: str | None = None,
-                     s_total: int | None = None):
+                     axis_name: str | None = None):
     """One trie level at static bucket width B = 2^LB >= max(P, U+1):
     a single full-width vectorized pass (no chunking, no host trips;
     compactions are sort-based, see ops/compact.compact_kidx_sort).
@@ -376,9 +367,9 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     U = state["nnodes"]
     par = state["parity"]
     wpar = 1 - par
-    # entropy uses the GLOBAL sample count d (metaserver.cpp:356-389);
-    # under sharding the local meta row count is only this shard's slice
-    S_total = s_total if s_total is not None else meta_rows.shape[0]
+    # entropy uses the GLOBAL sample count d (metaserver.cpp:356-389),
+    # which under sharding exceeds this shard's local slice
+    S_total = s_total
 
     # per-level symbol mask: enforced prefix, then maxdepth cutoff
     sym_mask = jnp.ones(4, dtype=bool)
@@ -395,11 +386,9 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     prs = lax.dynamic_slice(state["pr"], (par, 0, 0), (1, B, 8))[0]
     lo, hi, rlo = prs[:, PC_LO], prs[:, PC_HI], prs[:, PC_RLO]
     sid, nid = prs[:, PC_SID], prs[:, PC_NID]
+    soff_p = prs[:, PC_SOFF]
     validp = iota_b < P
 
-    mrow = jnp.take(meta_rows, sid, axis=0)          # (B, 8)
-    soff_p = mrow[:, 0]
-    C4_p = mrow[:, 1:5]
     cum_lo = occ_cum(dev_frows, (lo >> LOG2_BLOCK) + soff_p,
                      lo & (BLOCK - 1))
     cum_hi = occ_cum(dev_frows, (hi >> LOG2_BLOCK) + soff_p,
@@ -408,8 +397,9 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
     occ_hi, psum_hi = _occ_psum4(cum_hi, hi)
     pa = validp & (hi > lo)
     pa4 = pa[:, None]
-    clo = jnp.where(pa4, C4_p + occ_lo, 0)           # (B, 4)
-    chi = jnp.where(pa4, C4_p + occ_hi, 0)
+    # C4 is baked into the occ tables: occ_lo/occ_hi ARE the child bounds
+    clo = jnp.where(pa4, occ_lo, 0)                  # (B, 4)
+    chi = jnp.where(pa4, occ_hi, 0)
     crlo = jnp.where(pa4, rlo[:, None] + psum_hi - psum_lo, 0)
     cact = pa4 & (chi - clo >= sc.fmin)
 
@@ -541,7 +531,7 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, meta_rows,
         [clo.T, chi.T, crlo.T,
          jnp.broadcast_to(sid[None, :], (4, B)),
          prow_nd[:, :4].T,
-         jnp.zeros((4, B), jnp.int32),
+         jnp.broadcast_to(soff_p[None, :], (4, B)),
          jnp.zeros((4, B), jnp.int32),
          jnp.zeros((4, B), jnp.int32)], axis=2).reshape(4 * B, 8)
     wp = min(B, prow)
@@ -621,7 +611,7 @@ def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
 
     lb_max = (PAIR_HEADROOM * cap - 1).bit_length()  # log2(prow)
 
-    def run(frows, rrows, meta, state, *flat_scalars):
+    def run(frows, rrows, state, *flat_scalars):
         sc = _Scalars(*flat_scalars)
 
         def cond(st):
@@ -633,7 +623,7 @@ def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
                          + st["boost"],
                          LB_MIN, lb_max) - LB_MIN
             branches = [
-                functools.partial(_level_at_bucket, lb, frows, rrows, meta,
+                functools.partial(_level_at_bucket, lb, frows, rrows, S,
                                   sc, prefix_codes, hist_cap)
                 for lb in range(LB_MIN, lb_max + 1)
             ]
@@ -641,7 +631,7 @@ def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
 
         return jax.lax.while_loop(cond, body, state)
 
-    return jax.jit(run, donate_argnums=(3,))
+    return jax.jit(run, donate_argnums=(2,))
 
 
 @functools.cache
@@ -937,7 +927,6 @@ def mine_device(
     cap = _auto_cap(dev, cap)
     hist_cap = _hist_cap(dev)
     state = _seed_episode(dev, cap, hist_cap)
-    meta = _sample_meta(dev)
     ph = PathHistory()
     seg_depth0 = 0
     if checkpoint is not None and os.path.exists(checkpoint):
@@ -950,6 +939,9 @@ def mine_device(
         # the snapshot stores the sparse pair rows directly (sorted by
         # node id with contiguous runs, as the episode requires)
         prh = np.asarray(host_state.pop("pairs"), dtype=np.int32)
+        # snapshots may come from a differently-sharded run: recompute
+        # the per-pair table offsets from this run's sample layout
+        prh[:, PC_SOFF] = np.asarray(dev.soff)[prh[:, PC_SID]]
         k = prh.shape[0]
         fresh["pr"] = fresh["pr"].at[0, :k].set(prh)
         fresh["npairs"] = jnp.asarray(k, jnp.int32)
@@ -989,7 +981,7 @@ def mine_device(
 
     while True:
         fn = _jitted_episode(cap, hist_cap, dev.S, prefix_codes)
-        state = fn(dev.frows, dev.rrows, meta, state, *sc.flat())
+        state = fn(dev.frows, dev.rrows, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
             print(f"mine_device: flag={flag} cap={cap} "

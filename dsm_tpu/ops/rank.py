@@ -100,12 +100,22 @@ ROWW = 32          # fused uint32 row width: 8 cum + 5 planes x 4 words (+pad)
 _NPLANES = 5       # thermometer levels j = 1..5 (j=6 is the identity: pos)
 
 
-def fused_rows(table: OccTable) -> np.ndarray:
+def fused_rows(table: OccTable, c4=None) -> np.ndarray:
     """Build the fused cum8+bitplane mining rows for one BWT.
 
     -> (nblocks + 1, ROWW) uint32.  The final row carries the total cum8
     so positions with i % BLOCK == 0 at i == nblocks*BLOCK resolve without
     touching planes.  PAD codes (tail padding) satisfy no plane test.
+
+    `c4` ((4,) ints: C[c] for c in A,C,G,T) BAKES the per-sample LF base
+    constants into the stored cum columns: with K = (0, C4[A],
+    C4[A]+C4[C], C4[A]+C4[C]+C4[G], -C4[T]) added to cum(1..5), the
+    per-symbol occ differences come out as C4[c] + occ(c, i) — the child
+    interval bound itself — so the mining engines never gather or add C4
+    at runtime.  The lexicographic prefix sums (psum4) and the leftChar
+    counts only ever consume DIFFERENCES of cum values at two positions
+    of the same sample, where K cancels exactly; occ_cum returns the
+    shifted values via a bitcast (negative K wraps mod 2^32).
     """
     nblocks = table.blocks.shape[0]
     rows = np.zeros((nblocks + 1, ROWW), dtype=np.uint32)
@@ -118,6 +128,10 @@ def fused_rows(table: OccTable) -> np.ndarray:
         per_block[-1, PAD] -= int(nblocks * BLOCK - table.n)
     cum = np.zeros((nblocks + 1, SIGMA), dtype=np.int64)
     np.cumsum(np.cumsum(per_block, axis=1), axis=0, out=cum[1:])
+    if c4 is not None:
+        a, c, g, t = (int(v) for v in c4)
+        K = np.array([0, 0, a, a + c, a + c + g, -t, 0, 0], dtype=np.int64)
+        cum = (cum + K[None, :]) & 0xFFFFFFFF
     rows[:, :SIGMA] = cum.astype(np.uint32)
     # thermometer planes
     weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))
@@ -140,7 +154,9 @@ def occ_cum(rows, blk, rem):
     from jax import lax
 
     g = jnp.take(rows, blk, axis=0)                      # (..., ROWW)
-    base = g[..., 1:6].astype(jnp.int32)                 # cum(1..5) at start
+    # bitcast, not convert: baked-C4 tables (fused_rows c4=) store
+    # negative K offsets as wrapped uint32
+    base = lax.bitcast_convert_type(g[..., 1:6], jnp.int32)
     planes = g[..., 8:28].reshape(g.shape[:-1] + (_NPLANES, 4))
     w = rem >> 5
     bit = (rem & 31).astype(jnp.uint32)

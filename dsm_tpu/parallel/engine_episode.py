@@ -71,6 +71,7 @@ from ..mining.engine_device import (
     PC_NID,
     PC_RLO,
     PC_SID,
+    PC_SOFF,
     TAIL_WIDTH,
     PathHistory,
     _ceil_log2,
@@ -128,18 +129,16 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
     lb_max = (PAIR_HEADROOM * cap - 1).bit_length()
     sh, rep, state_spec = _specs(mesh)
 
-    def shard_body(frows, rrows, C4, state, *flat_scalars):
+    def shard_body(frows, rrows, state, *flat_scalars):
         # tables shard on their existing sample axis; the sharded STATE
         # leaves carry an explicit leading shard dim instead (stripped
-        # here, restored on return)
+        # here, restored on return).  Per-pair table offsets ride in the
+        # pair rows (PC_SOFF) and C4 is baked into the tables, so the
+        # body needs no per-sample meta at all.
         state = {k: (v[0] if k in _SHARDED_KEYS else v)
                  for k, v in state.items()}
         S_l, nbp = frows.shape[0], frows.shape[1]
         frows_flat = frows.reshape(S_l * nbp, ROWW)
-        soff = jnp.arange(S_l, dtype=jnp.int32) * nbp
-        meta = jnp.zeros((S_l, 8), jnp.int32)
-        meta = meta.at[:, 0].set(soff)
-        meta = meta.at[:, 1:5].set(C4)
         sc = _Scalars(*flat_scalars)
 
         def cond(st):
@@ -152,8 +151,8 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
                          LB_MIN, lb_max) - LB_MIN
             branches = [
                 functools.partial(_level_at_bucket, lb, frows_flat, None,
-                                  meta, sc, prefix_codes, hist_cap,
-                                  axis_name=SAMPLES_AXIS, s_total=s_total)
+                                  s_total, sc, prefix_codes, hist_cap,
+                                  axis_name=SAMPLES_AXIS)
                 for lb in range(LB_MIN, lb_max + 1)
             ]
             return lax.switch(k, branches, st)
@@ -164,9 +163,9 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
 
     fn = _shard_map(
         shard_body, mesh,
-        in_specs=(sh, sh, sh, state_spec) + (rep,) * 10,
+        in_specs=(sh, sh, state_spec) + (rep,) * 10,
         out_specs=state_spec)
-    return jax.jit(fn, donate_argnums=(3,))
+    return jax.jit(fn, donate_argnums=(2,))
 
 
 def _auto_cap_sharded(dev, floor: int) -> int:
@@ -259,14 +258,17 @@ def _seed_sharded_episode(dev: ShardedIndexes, n_shards: int, cap: int,
     """Per-shard episode states stacked on a leading shard axis.
 
     Seeds shard k's pair list with its S_loc samples (local sample ids
-    0..S_loc-1, global id = k*S_loc + local)."""
+    0..S_loc-1, global id = k*S_loc + local); PC_SOFF carries the local
+    table row offset (local_sid * rows-per-sample)."""
     import jax.numpy as jnp
 
     S_loc = dev.S // n_shards
+    nbp = int(dev.frows.shape[1])
     # borrow the single-device seeder for shapes, then fix the seeds
     class _Fake:
         S = S_loc
         ns = np.ones(S_loc, dtype=np.int64)
+        soff = np.zeros(S_loc, dtype=np.int32)
     base = _seed_episode(_Fake, cap, hist_cap)
     stacked = {}
     ns = np.asarray(dev.ns, dtype=np.int64)
@@ -278,6 +280,7 @@ def _seed_sharded_episode(dev: ShardedIndexes, n_shards: int, cap: int,
                 loc = np.arange(S_loc)
                 pr[0, :S_loc, PC_HI] = ns[sh * S_loc:(sh + 1) * S_loc]
                 pr[0, :S_loc, PC_SID] = loc
+                pr[0, :S_loc, PC_SOFF] = loc * nbp
                 prs.append(pr)
             stacked["pr"] = jnp.asarray(np.stack(prs))
         elif k == "nb":
@@ -432,9 +435,12 @@ def _pull_dense_sharded(state, dev: ShardedIndexes, n_shards: int, mesh):
 
 
 def _stack_pairs_by_shard(pairs_global: np.ndarray, n_shards: int,
-                          S_loc: int, n_nodes: int, prow: int, nbrow: int):
+                          S_loc: int, n_nodes: int, prow: int, nbrow: int,
+                          nbp: int):
     """Split canonical (nid-sorted, ascending global sid) pair rows into
-    per-shard pr[0]/nb[0]/npairs arrays (local sample ids)."""
+    per-shard pr[0]/nb[0]/npairs arrays (local sample ids; PC_SOFF
+    recomputed for this run's table layout — snapshots may come from a
+    differently-sharded or single-device run)."""
     prs = np.zeros((n_shards, prow, 8), dtype=np.int32)
     nbs = np.zeros((n_shards, nbrow), dtype=np.int32)
     nps = np.zeros(n_shards, dtype=np.int32)
@@ -444,6 +450,7 @@ def _stack_pairs_by_shard(pairs_global: np.ndarray, n_shards: int,
         m = rows.shape[0]
         loc = rows.copy()
         loc[:, PC_SID] -= k * S_loc
+        loc[:, PC_SOFF] = loc[:, PC_SID] * nbp
         prs[k, :m] = loc
         nps[k] = m
         nbs[k, :n_nodes + 1] = np.concatenate(
@@ -595,7 +602,8 @@ def mine_device_sharded(
         n_nodes = int(host_state.pop("nvalid"))
         prs, nbs, nps = _stack_pairs_by_shard(
             pairs, n_shards, S_loc, n_nodes,
-            fresh["pr"].shape[2], fresh["nb"].shape[2])
+            fresh["pr"].shape[2], fresh["nb"].shape[2],
+            int(dev.frows.shape[1]))
         fresh["pr"] = fresh["pr"].at[:, 0].set(jnp.asarray(prs))
         fresh["nb"] = fresh["nb"].at[:, 0].set(jnp.asarray(nbs))
         fresh["npairs"] = jnp.asarray(nps)
@@ -640,7 +648,7 @@ def mine_device_sharded(
     while True:
         fn = _jitted_episode_sharded(mesh, cap, hist_cap, S_loc,
                                      prefix_codes, s_total=d)
-        state = fn(dev.frows, dev.rrows, dev.C4, state, *sc.flat())
+        state = fn(dev.frows, dev.rrows, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
             print(f"mine_device_sharded: flag={flag} cap={cap} "

@@ -68,8 +68,10 @@ class ShardedIndexes:
         S = pad_to if pad_to is not None else S_real
         if S < S_real:
             raise ValueError("pad_to smaller than the number of samples")
-        fr = [fused_rows(idx.table) for idx in indexes]
-        rr = [fused_rows(idx.rtable) for idx in indexes]
+        fr = [fused_rows(idx.table, c4=[idx.C[c] for c in EXT4])
+              for idx in indexes]
+        rr = [fused_rows(idx.rtable, c4=[idx.C[c] for c in EXT4])
+              for idx in indexes]
         nbp = max(a.shape[0] for a in fr)
         frows = np.zeros((S, nbp, ROWW), dtype=np.uint32)
         rrows = np.zeros((S, nbp, ROWW), dtype=np.uint32)
@@ -87,11 +89,11 @@ class ShardedIndexes:
                    C4hi=jnp.asarray(C4hi))
 
 
-def _sharded_step_impl(frows, rrows, C4, lo, hi, rlo, valid, fmin,
+def _sharded_step_impl(frows, rrows, lo, hi, rlo, valid, fmin,
                        sym_mask):
     """shard_map body.  Local shapes (R = local prefix rows, S = local
-    samples): frows/rrows (S, NBP, ROWW), C4 (S, 4),
-    lo/hi/rlo (R, CAP, S), valid (R, CAP), sym_mask (R, 4)."""
+    samples): frows/rrows (S, NBP, ROWW) with C4 baked in (fused_rows
+    c4=), lo/hi/rlo (R, CAP, S), valid (R, CAP), sym_mask (R, 4)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -103,7 +105,7 @@ def _sharded_step_impl(frows, rrows, C4, lo, hi, rlo, valid, fmin,
 
     core = jax.vmap(
         lambda lo_r, hi_r, rlo_r, valid_r: expand_core(
-            frows_flat, rrows_flat, soff, C4, lo_r, hi_r, rlo_r, valid_r,
+            frows_flat, rrows_flat, soff, lo_r, hi_r, rlo_r, valid_r,
             fmin)
     )(lo, hi, rlo, valid)
 
@@ -136,13 +138,13 @@ def _jitted_sharded_step(mesh):
             return sm(f, mesh=mesh, in_specs=in_specs,
                       out_specs=out_specs, check_rep=False)
 
-    spec_tbl = P(SAMPLES_AXIS)                       # frows/rrows/C4
+    spec_tbl = P(SAMPLES_AXIS)                       # frows/rrows
     spec_iv = P(PREFIX_AXIS, None, SAMPLES_AXIS)     # lo/hi/rlo
     spec_row = P(PREFIX_AXIS)                        # valid/sym_mask
     fn = shard_map(
         _sharded_step_impl,
         mesh=mesh,
-        in_specs=(spec_tbl, spec_tbl, spec_tbl,
+        in_specs=(spec_tbl, spec_tbl,
                   spec_iv, spec_iv, spec_iv, spec_row,
                   P(), spec_row),
         out_specs=dict(
@@ -255,7 +257,7 @@ def mine_sharded(
             if depth < len(prefix_codes):
                 sym_mask = sym_mask & onehots[prefix_codes[depth]]
 
-        res = step(dev.frows, dev.rrows, dev.C4, *state, fmin, sym_mask)
+        res = step(dev.frows, dev.rrows, *state, fmin, sym_mask)
         counts = np.asarray(res["child_count"])
         cap_now = state[0].shape[1]
         if counts.max() > cap_now:
