@@ -17,18 +17,25 @@ becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
     run at full bandwidth on wide rows (~350M rows/s) but crawl on
     scalar 1-D gathers (~130M elem/s), so every gather in the episode
     pulls a packed row;
-  * each level is ONE full-width vectorized pass at a power-of-2
-    BUCKET size chosen per level by `lax.switch` from the live
-    pair/node counts — compute scales with next_pow2(live), there are
-    no per-level host round-trips, and nothing is chunked or
-    serialized.  All per-node statistics are boundary differences of
-    running prefix sums (packed as (B+1, 8) rows, gathered twice per
-    node); every compaction is one `lax.sort` of index keys
-    (ops/compact.compact_kidx_sort — measured faster than the
-    rank/select alternative on current TPUs) followed by one row
-    gather.  The pair list is kept sorted by node id with each node's
-    pairs contiguous — the TPU-native form of the reference's d-stream
-    lazy trie merge (metaserver.cpp:269-486), where "streams meet at a
+  * each level is ONE full-width vectorized pass at a BUCKET size
+    chosen per level by `lax.switch` from the live pair/node counts —
+    powers of two plus 3*2^k half-steps (bucket_ladder), so the
+    dozens-of-levels mid-trie plateau runs with ~1.1x lane slack
+    instead of ~1.5x.  No per-level host round-trips, nothing chunked
+    or serialized.  On one device, per-node statistics come from a
+    multi-operand `lax.sort` that selects each node's last inclusive
+    prefix-sum row (node-aligned because every node owns >= 1 pair),
+    and child compaction is a single 6-operand c-major sort whose kept
+    stream also yields child ids, history entries and nb boundaries
+    from (parent, symbol) changes — sorts move ~0.65 ms per million
+    lanes per operand on v5e while HBM row gathers cost ~15 ns/row, so
+    the sort-payload forms beat every gather-based alternative
+    (tools/micro_bench.py).  Under sharding the per-node rows must be
+    node-indexed on every shard for the psum merge, so that path keeps
+    the prefix-sum boundary gather and the exists-lattice numbering.
+    The pair list is kept sorted by node id with each node's pairs
+    contiguous — the TPU-native form of the reference's d-stream lazy
+    trie merge (metaserver.cpp:269-486), where "streams meet at a
     node" becomes "pairs of a node are adjacent";
   * capacity is FIXED per run (next_pow2 of the total text length,
     clamped) so the episode compiles exactly once; pair capacity gets
@@ -310,10 +317,13 @@ def _nln_value(d3):
             * np.float32(2.0 ** -_NLN_FP))
 
 
-def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
+def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
                      sc: _Scalars, prefix_codes, hist_cap, state,
                      axis_name: str | None = None):
-    """One trie level at static bucket width B = 2^LB >= max(P, U+1):
+    """One trie level at static bucket width B >= max(P, U+1) drawn
+    from the bucket ladder (powers of two plus 3*2^k half-steps — the
+    mid-trie plateau sits just above a power of two, and a half-step
+    bucket cuts its ~1.5x lane slack; see bucket_ladder):
     a single full-width vectorized pass (no chunking, no host trips;
     compactions are sort-based, see ops/compact.compact_kidx_sort).
 
@@ -357,7 +367,6 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
     import jax.numpy as jnp
     from jax import lax
 
-    B = 1 << LB
     _, prow, _ = state["pr"].shape
     ncap = (state["hist"].shape[0] - hist_cap)
     nbrow = state["nb"].shape[1]
@@ -389,10 +398,14 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
     soff_p = prs[:, PC_SOFF]
     validp = iota_b < P
 
-    cum_lo = occ_cum(dev_frows, (lo >> LOG2_BLOCK) + soff_p,
-                     lo & (BLOCK - 1))
-    cum_hi = occ_cum(dev_frows, (hi >> LOG2_BLOCK) + soff_p,
-                     hi & (BLOCK - 1))
+    # ONE batched rank call for both interval ends: the occ-table gather
+    # rate improves markedly with batch size (tools/micro_bench.py), so
+    # lo‖hi in a single 2B-query gather beats two B-query calls
+    cum2 = occ_cum(dev_frows,
+                   jnp.concatenate([(lo >> LOG2_BLOCK) + soff_p,
+                                    (hi >> LOG2_BLOCK) + soff_p]),
+                   jnp.concatenate([lo & (BLOCK - 1), hi & (BLOCK - 1)]))
+    cum_lo, cum_hi = cum2[:B], cum2[B:]
     occ_lo, psum_lo = _occ_psum4(cum_lo, lo)
     occ_hi, psum_hi = _occ_psum4(cum_hi, hi)
     pa = validp & (hi > lo)
@@ -409,23 +422,45 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
     nlnw = _nln_windows(jnp.where(pa, f1 * jnp.log2(f1), 0.0))   # (B, 3)
     stat = jnp.concatenate(
         [freq[:, None], nlnw, cact.astype(jnp.int32)], axis=1)   # (B, 8)
-    cum = jnp.concatenate(
-        [jnp.zeros((1, 8), jnp.int32), jnp.cumsum(stat, axis=0)])  # (B+1, 8)
-
-    nbs = lax.dynamic_slice(state["nb"], (par, 0), (1, B + 1))[0]
     validn = iota_b < U
-    # node boundaries are contiguous (start of node u+1 == end of node u),
-    # so ONE (B+1)-row gather at the boundary array yields both ends
-    gb = jnp.take(cum, jnp.clip(nbs, 0, B), axis=0)              # (B+1, 8)
-    d8 = jnp.where(validn[:, None], gb[1:] - gb[:-1], 0)         # (B, 8)
-    cnt_local = d8[:, 4:8]                                       # (B, 4)
-    nact_local = jnp.where(validn, nbs[1:] - nbs[:B], 0)
     if axis_name is not None:
+        # SHARDED: per-node sums must sit at node-indexed rows on every
+        # shard (the psum aligns rows across shards, and a shard may
+        # hold no pairs at all for some nodes), so boundary-gather the
+        # prefix sums at this shard's nb array
+        cum = jnp.concatenate(
+            [jnp.zeros((1, 8), jnp.int32), jnp.cumsum(stat, axis=0)])
+        nbs = lax.dynamic_slice(state["nb"], (par, 0), (1, B + 1))[0]
+        gb = jnp.take(cum, jnp.clip(nbs, 0, B), axis=0)          # (B+1, 8)
+        d8 = jnp.where(validn[:, None], gb[1:] - gb[:-1], 0)     # (B, 8)
+        cnt_local = d8[:, 4:8]                                   # (B, 4)
+        nact_local = jnp.where(validn, nbs[1:] - nbs[:B], 0)
         # the trie merge: global per-node statistics over the mesh
         d8 = lax.psum(d8, axis_name)
         nact = lax.psum(nact_local, axis_name)
+        nact_loc = nact_local
     else:
-        nact = nact_local
+        # SINGLE DEVICE: every node owns >= 1 pair, so selecting the
+        # inclusive prefix-sum row at each node's LAST pair (a 9-operand
+        # width-B sort — measured far cheaper than a (B+1)-row gather
+        # from an HBM-resident table) yields node-aligned rows directly:
+        # the u-th selected row IS node u, and consecutive differences
+        # are the per-node sums
+        cum_i = jnp.cumsum(stat, axis=0)                         # (B, 8)
+        nxt = jnp.concatenate([nid[1:], jnp.full((1,), -1, jnp.int32)])
+        lstp = validp & ((nid != nxt) | (iota_b == P - 1))
+        keyl = jnp.where(lstp, iota_b, jnp.int32(B))
+        sel = lax.sort((keyl,) + tuple(cum_i[:, j] for j in range(8)),
+                       num_keys=1)
+        selk = sel[0]                                            # (B,)
+        sel8 = jnp.stack(sel[1:], axis=1)                        # (B, 8)
+        prev8 = jnp.concatenate([jnp.zeros((1, 8), jnp.int32),
+                                 sel8[:-1]])
+        d8 = jnp.where(validn[:, None], sel8 - prev8, 0)         # (B, 8)
+        cnt_local = d8[:, 4:8]
+        prevk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), selk[:-1]])
+        nact = jnp.where(validn, selk - prevk, 0)
+        nact_loc = nact
     sumf = d8[:, 0]
     sumnln = _nln_value(d8[:, 1:4])
     cnt = d8[:, 4:8]                                             # (B, 4)
@@ -462,29 +497,82 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
                           jnp.where(stat_rows, ent32, -np.inf).max())
     total_paths = state["total_paths"] + present.sum(dtype=jnp.int32)
 
-    # ---- child numbering + history + next-level nb (c-major == the
-    # sym-major child-id order) -----------------------------------------
-    E = exists.T.reshape(4 * B)                        # flat i = c*B + u
-    cid_flat = jnp.where(E, jnp.cumsum(E.astype(jnp.int32)) - 1, -1)
-    cid_mat = cid_flat.reshape(4, B).T                 # (B, 4): node, sym
-    iota4b = jnp.arange(4 * B, dtype=jnp.int32)
-    hv = (iota4b & (B - 1)) * 4 + (iota4b >> LB)       # parent_row*4 + sym
-    pcnt = jnp.where(exists, cnt_local, 0).T.reshape(4 * B)
-    nbv = jnp.cumsum(pcnt) - pcnt                      # child's first pair
-
-    # Moves are gathered at width B, not 4B: surviving children almost
-    # never outnumber the current bucket (frontiers grow < 2x past the
-    # seed levels), and when they do the level is REDONE one bucket up
-    # via `boost` — paying one cheap retry instead of 4x-wide gathers
-    # on every level.
+    # ---- children + child numbering + history + next-level nb ----------
+    # (c-major flatten == the sym-major child-id order)
     wn = min(B, ncap)
-    kidx_n, _ = compact_kidx_sort(E, wn)
-    rows_n = jnp.stack([hv, nbv], axis=1)              # (4B, 2)
-    g_n = jnp.take(rows_n, kidx_n, axis=0)             # (wn, 2)
+    wp = min(B, prow)
     woff = jnp.minimum(state["hist_len"], jnp.int32(hist_cap))
-    hist = lax.dynamic_update_slice(state["hist"], g_n[:, 0], (woff,))
-    nb_next = lax.dynamic_update_slice(state["nb"], g_n[:, 1][None],
-                                       (wpar, 0))
+    K = (cact & sym_mask[None, :]).T.reshape(4 * B)    # c-major keep
+    iota_wp = jnp.arange(wp, dtype=jnp.int32)
+    iota4b = jnp.arange(4 * B, dtype=jnp.int32)
+
+    if axis_name is None:
+        # SINGLE DEVICE: one 6-operand c-major sort moves every child
+        # payload at once (no (4B, 8) table build, no row gather), and
+        # child ids / history entries / nb boundaries all fall out of
+        # the kept stream's (parent, symbol) boundaries — kept pairs of
+        # a child are contiguous and children appear in c-major order,
+        # so a boundary is simply a change of parent_row*4+sym.
+        key4 = jnp.where(K, iota4b, jnp.int32(4 * B))
+        # pack (soff, sid) into one sort operand; sid < MAX_SAMPLES
+        sidsoff = soff_p * jnp.int32(MAX_SAMPLES) + sid
+        skey, s_clo, s_chi, s_crlo, s_ss, s_nid = lax.sort(
+            (key4,
+             clo.T.reshape(4 * B), chi.T.reshape(4 * B),
+             crlo.T.reshape(4 * B),
+             jnp.tile(sidsoff, 4), jnp.tile(nid, 4)),
+            num_keys=1)
+        skey = skey[:wp]
+        validk = iota_wp < pair_count
+        hv_kept = jnp.where(validk, s_nid[:wp] * 4 + skey // B, -1)
+        prev_hv = jnp.concatenate([jnp.full((1,), -2, jnp.int32),
+                                   hv_kept[:-1]])
+        bdry = validk & (hv_kept != prev_hv)
+        cid_pair = jnp.cumsum(bdry.astype(jnp.int32)) - 1
+        newpr = jnp.stack(
+            [s_clo[:wp], s_chi[:wp], s_crlo[:wp],
+             s_ss[:wp] % jnp.int32(MAX_SAMPLES), cid_pair,
+             s_ss[:wp] // jnp.int32(MAX_SAMPLES),
+             jnp.zeros(wp, jnp.int32), jnp.zeros(wp, jnp.int32)],
+            axis=1)                                    # (wp, 8)
+        pr = lax.dynamic_update_slice(state["pr"], newpr[None],
+                                      (wpar, 0, 0))
+        # history + nb from the boundary stream: one tiny 3-operand sort
+        key_b = jnp.where(bdry, iota_wp, jnp.int32(wp))
+        sk2, s_hv = lax.sort((key_b, hv_kept), num_keys=1)
+        hist = lax.dynamic_update_slice(state["hist"], s_hv[:wn], (woff,))
+        nb_next = lax.dynamic_update_slice(state["nb"],
+                                           jnp.minimum(sk2[:wn],
+                                                       pair_count)[None],
+                                           (wpar, 0))
+    else:
+        # SHARDED: child ids must come from the GLOBAL exists lattice (a
+        # shard may hold no pairs for an existing child), so number the
+        # union children by cumsum over exists and gather per-pair ids
+        E = exists.T.reshape(4 * B)                    # flat i = c*B + u
+        cid_flat = jnp.where(E, jnp.cumsum(E.astype(jnp.int32)) - 1, -1)
+        cid_mat = cid_flat.reshape(4, B).T             # (B, 4): node, sym
+        hv = (iota4b % B) * 4 + iota4b // B            # parent_row*4+sym
+        pcnt = jnp.where(exists, cnt_local, 0).T.reshape(4 * B)
+        nbv = jnp.cumsum(pcnt) - pcnt                  # child's first pair
+        kidx_n, _ = compact_kidx_sort(E, wn)
+        rows_n = jnp.stack([hv, nbv], axis=1)          # (4B, 2)
+        g_n = jnp.take(rows_n, kidx_n, axis=0)         # (wn, 2)
+        hist = lax.dynamic_update_slice(state["hist"], g_n[:, 0], (woff,))
+        nb_next = lax.dynamic_update_slice(state["nb"], g_n[:, 1][None],
+                                           (wpar, 0))
+        cid_nd = jnp.take(cid_mat, jnp.minimum(nid, B - 1), axis=0)
+        childrows = jnp.stack(
+            [clo.T, chi.T, crlo.T,
+             jnp.broadcast_to(sid[None, :], (4, B)),
+             cid_nd.T,
+             jnp.broadcast_to(soff_p[None, :], (4, B)),
+             jnp.zeros((4, B), jnp.int32),
+             jnp.zeros((4, B), jnp.int32)], axis=2).reshape(4 * B, 8)
+        kidx_p, _ = compact_kidx_sort(K, wp)
+        newpr = jnp.take(childrows, kidx_p, axis=0)    # (wp, 8)
+        pr = lax.dynamic_update_slice(state["pr"], newpr[None],
+                                      (wpar, 0, 0))
     nb_next = lax.dynamic_update_slice(
         nb_next, pair_count[None, None],
         (wpar, jnp.minimum(child_total, jnp.int32(nbrow - 1))))
@@ -492,21 +580,18 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
     # ---- emit: compact gated pairs into the out rows -------------------
     # (a level's garbage tail beyond its kept count is overwritten by the
     # next level's write; the final tail sits beyond ocount, never read)
-    noderow = jnp.concatenate(
-        [cid_mat, nd_out[:, None].astype(jnp.int32),
-         jnp.zeros((B, 3), jnp.int32)], axis=1)        # (B, 8)
-    prow_nd = jnp.take(noderow, jnp.minimum(nid, B - 1), axis=0)  # (B, 8)
-    oflag = validp & (hi > lo) & (prow_nd[:, 4] > 0)
-    orows = jnp.concatenate(
-        [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
-         jnp.full((B, 1), depth, jnp.int32), jnp.zeros((B, 3), jnp.int32)],
-        axis=1)                                        # (B, 8)
-    # most levels emit nothing (gates are tight in production configs):
-    # skip the compaction entirely then, and use a narrow gather when the
-    # level's emission is small — the full-B path runs only on bursts
-    k_o = jnp.sum(oflag, dtype=jnp.int32)
+    # Every stored valid pair has a non-empty interval (children require
+    # freq >= fmin >= 1; seeds have n >= 1), so the gated-pair count is
+    # a NODE-level dot product with this shard's per-node pair counts —
+    # the per-pair work runs only inside the rare emit branch.
+    k_o = jnp.sum(jnp.where(nd_out, nact_loc, 0), dtype=jnp.int32)
 
     def emit_at(W, out):
+        oflag = validp & jnp.take(nd_out, jnp.minimum(nid, B - 1))
+        orows = jnp.concatenate(
+            [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
+             jnp.full((B, 1), depth, jnp.int32),
+             jnp.zeros((B, 3), jnp.int32)], axis=1)    # (B, 8)
         kidx_o, _ = compact_kidx_sort(oflag, W)
         return lax.dynamic_update_slice(
             out, jnp.take(orows, kidx_o, axis=0),
@@ -524,20 +609,6 @@ def _level_at_bucket(LB: int, dev_frows, dev_rrows, s_total: int,
                                functools.partial(emit_at, B), o),
             state["out"])
     oc = state["ocount"] + k_o
-
-    # ---- children: compact surviving pairs into the write half ---------
-    K = (cact & sym_mask[None, :]).T.reshape(4 * B)    # c-major keep
-    childrows = jnp.stack(
-        [clo.T, chi.T, crlo.T,
-         jnp.broadcast_to(sid[None, :], (4, B)),
-         prow_nd[:, :4].T,
-         jnp.broadcast_to(soff_p[None, :], (4, B)),
-         jnp.zeros((4, B), jnp.int32),
-         jnp.zeros((4, B), jnp.int32)], axis=2).reshape(4 * B, 8)
-    wp = min(B, prow)
-    kidx_p, _ = compact_kidx_sort(K, wp)
-    newpr = jnp.take(childrows, kidx_p, axis=0)        # (wp, 8)
-    pr = lax.dynamic_update_slice(state["pr"], newpr[None], (wpar, 0, 0))
 
     # ---- flags + commit (identical on every shard: per-shard
     # predicates are any-reduced over the mesh) ---------------------------
@@ -603,29 +674,51 @@ def _ceil_log2(x):
     return (expo - (mant == np.float32(0.5)).astype(jnp.int32))
 
 
+HALF_STEP_MIN = 1 << 18   # add 3*2^k half-step buckets from this size up
+
+
+def bucket_ladder(prow: int) -> list[int]:
+    """Static level-bucket sizes: powers of two from DEV_MIN_CAP to
+    prow, with 3*2^(k-1) half-steps interleaved above HALF_STEP_MIN.
+    The mid-trie plateau (tools/profile_episode.py) sits just above a
+    power of two for dozens of levels; the half-steps cut its ~1.5x
+    processed-lane slack to ~1.1x on exactly the levels that dominate
+    wall time, while small levels keep the short pow2-only ladder
+    (compile cost grows with ladder length)."""
+    out = []
+    b = DEV_MIN_CAP
+    while b <= prow:
+        out.append(b)
+        half = b + b // 2
+        if half >= HALF_STEP_MIN and half <= prow:
+            out.append(half)
+        b *= 2
+    return out
+
+
 @functools.cache
 def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    lb_max = (PAIR_HEADROOM * cap - 1).bit_length()  # log2(prow)
+    ladder = bucket_ladder(PAIR_HEADROOM * cap)
 
     def run(frows, rrows, state, *flat_scalars):
         sc = _Scalars(*flat_scalars)
+        lad = jnp.asarray(ladder, jnp.int32)
 
         def cond(st):
             return st["flag"] == FLAG_RUN
 
         def body(st):
-            k = jnp.clip(_ceil_log2(jnp.maximum(st["npairs"],
-                                                st["nnodes"] + 1))
-                         + st["boost"],
-                         LB_MIN, lb_max) - LB_MIN
+            need = jnp.maximum(st["npairs"], st["nnodes"] + 1)
+            k = jnp.clip(jnp.sum(lad < need) + st["boost"], 0,
+                         len(ladder) - 1)
             branches = [
-                functools.partial(_level_at_bucket, lb, frows, rrows, S,
+                functools.partial(_level_at_bucket, b, frows, rrows, S,
                                   sc, prefix_codes, hist_cap)
-                for lb in range(LB_MIN, lb_max + 1)
+                for b in ladder
             ]
             return lax.switch(k, branches, st)
 

@@ -74,7 +74,7 @@ from ..mining.engine_device import (
     PC_SOFF,
     TAIL_WIDTH,
     PathHistory,
-    _ceil_log2,
+    bucket_ladder,
     _decode_rows,
     _hist_cap,
     _level_at_bucket,
@@ -126,7 +126,7 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
     import jax.numpy as jnp
     from jax import lax
 
-    lb_max = (PAIR_HEADROOM * cap - 1).bit_length()
+    ladder = bucket_ladder(PAIR_HEADROOM * cap)
     sh, rep, state_spec = _specs(mesh)
 
     def shard_body(frows, rrows, state, *flat_scalars):
@@ -146,14 +146,15 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
 
         def body(st):
             np_max = lax.pmax(st["npairs"], SAMPLES_AXIS)
-            k = jnp.clip(_ceil_log2(jnp.maximum(np_max, st["nnodes"] + 1))
-                         + st["boost"],
-                         LB_MIN, lb_max) - LB_MIN
+            need = jnp.maximum(np_max, st["nnodes"] + 1)
+            lad = jnp.asarray(ladder, jnp.int32)
+            k = jnp.clip(jnp.sum(lad < need) + st["boost"], 0,
+                         len(ladder) - 1)
             branches = [
-                functools.partial(_level_at_bucket, lb, frows_flat, None,
+                functools.partial(_level_at_bucket, b, frows_flat, None,
                                   s_total, sc, prefix_codes, hist_cap,
                                   axis_name=SAMPLES_AXIS)
-                for lb in range(LB_MIN, lb_max + 1)
+                for b in ladder
             ]
             return lax.switch(k, branches, st)
 

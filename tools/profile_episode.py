@@ -64,26 +64,25 @@ def main() -> None:
     cap = ed._auto_cap(dev, ed.DEV_MIN_CAP)
     hist_cap = ed._hist_cap(dev)
     state = ed._seed_episode(dev, cap, hist_cap)
-    meta = ed._sample_meta(dev)
-    lb_max = (ed.PAIR_HEADROOM * cap - 1).bit_length()
+    ladder = ed.bucket_ladder(ed.PAIR_HEADROOM * cap)
     print(f"profile: scale={scale} platform={jax.default_backend()} "
-          f"cap=2^{cap.bit_length()-1} lb_max={lb_max}", file=sys.stderr)
+          f"cap=2^{cap.bit_length()-1} ladder={ladder}", file=sys.stderr)
 
     @functools.cache
     def one_level():
-        def run(frows, rrows, meta, state, *flat):
+        def run(frows, rrows, state, *flat):
             s = ed._Scalars(*flat)
-            k = jnp.clip(
-                ed._ceil_log2(jnp.maximum(state["npairs"],
-                                          state["nnodes"] + 1))
-                + state["boost"], ed.LB_MIN, lb_max) - ed.LB_MIN
+            lad = jnp.asarray(ladder, jnp.int32)
+            need = jnp.maximum(state["npairs"], state["nnodes"] + 1)
+            k = jnp.clip(jnp.sum(lad < need) + state["boost"], 0,
+                         len(ladder) - 1)
             branches = [
-                functools.partial(ed._level_at_bucket, lb, frows, rrows,
-                                  meta, s, (), hist_cap)
-                for lb in range(ed.LB_MIN, lb_max + 1)
+                functools.partial(ed._level_at_bucket, b, frows, rrows,
+                                  dev.S, s, (), hist_cap)
+                for b in ladder
             ]
             return lax.switch(k, branches, state)
-        return jax.jit(run, donate_argnums=(3,))
+        return jax.jit(run, donate_argnums=(2,))
 
     fn = one_level()
     rows = []
@@ -92,12 +91,11 @@ def main() -> None:
     while True:
         P, U, bst = (int(state["npairs"]), int(state["nnodes"]),
                      int(state["boost"]))
-        lb = max(ed.LB_MIN,
-                 min(max(P, U + 1 or 1).bit_length()
-                     - (1 if max(P, U + 1) & (max(P, U + 1) - 1) == 0
-                        else 0) + bst, lb_max))
+        need = max(P, U + 1)
+        ki = min(sum(1 for b in ladder if b < need) + bst, len(ladder) - 1)
+        lb = ladder[ki]
         t0 = time.perf_counter()
-        state = fn(dev.frows, dev.rrows, meta, state, *sc.flat())
+        state = fn(dev.frows, dev.rrows, state, *sc.flat())
         jax.block_until_ready(state["flag"])
         dt = time.perf_counter() - t0
         flag = int(state["flag"])
@@ -115,18 +113,19 @@ def main() -> None:
             break
     total = time.perf_counter() - t_all0
 
-    print(f"\n lvl depth   LB        P        U flag    ms", file=sys.stderr)
+    print(f"\n lvl depth        B        P        U flag    ms",
+          file=sys.stderr)
     by_lb: dict[int, list[float]] = {}
     for (lvl, depth, lb, P, U, flag, dt) in rows:
         by_lb.setdefault(lb, []).append(dt)
         if dt > 0.02 or lvl < 5:
-            print(f"{lvl:4d} {depth:5d} {lb:4d} {P:8d} {U:8d} "
+            print(f"{lvl:4d} {depth:5d} {lb:8d} {P:8d} {U:8d} "
                   f"{flag:4d} {dt*1e3:8.1f}", file=sys.stderr)
     print(f"\ntotal levels={len(rows)} wall={total:.2f}s", file=sys.stderr)
     print("per-bucket summary:", file=sys.stderr)
     for lb in sorted(by_lb):
         ts = by_lb[lb]
-        print(f"  LB={lb:2d} (B={1<<lb:>8}): n={len(ts):3d} "
+        print(f"  B={lb:>8}: n={len(ts):3d} "
               f"sum={sum(ts):6.2f}s  mean={1e3*sum(ts)/len(ts):7.1f}ms",
               file=sys.stderr)
 
