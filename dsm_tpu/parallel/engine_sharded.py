@@ -219,7 +219,8 @@ def mine_sharded(
     dev = ShardedIndexes.build(indexes, pad_to=pad_to)
 
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
-    k_rows = prefix_depth(n_prefix)
+    deep = row_prefix_masks(n_prefix)          # (n_prefix, k_rows, 4)
+    k_rows = deep.shape[1]
     trackers = None
     if reader_order == "gnu":
         from ..mining.gnuorder import GnuOrderTracker
@@ -234,7 +235,6 @@ def mine_sharded(
         raise ValueError(f"unknown reader_order {reader_order!r}")
     step = _jitted_sharded_step(mesh)
     fmin = jnp.asarray(cfg.fmin, dtype=jnp.int32)
-    deep = row_prefix_masks(n_prefix)          # (n_prefix, k_rows, 4)
     mask_all = jnp.asarray(np.repeat(np.ones((1, 4), bool), n_prefix, 0))
     mask_none = jnp.asarray(np.zeros((n_prefix, 4), bool))
     prefix_codes = [EXT_CHARS.index(b) for b in prefix]

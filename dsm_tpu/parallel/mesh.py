@@ -69,43 +69,73 @@ def prefix_depth(n_prefix: int) -> int:
     return k
 
 
+def _depth_splits(n_prefix: int) -> list[list[list[int]]]:
+    """Factor n_prefix into per-depth contiguous symbol-group splits
+    (each depth splits {A,C,G,T} into <= 4 groups; the row count is the
+    product of group counts).  Any n whose prime factors are <= 4 (2s
+    and 3s) is expressible; sizes are balanced as evenly as 4 symbols
+    allow (4 -> 1+1+1+1, 3 -> 1+1+2, 2 -> 2+2)."""
+    groups_of = {
+        1: [[0, 1, 2, 3]],
+        2: [[0, 1], [2, 3]],
+        3: [[0], [1], [2, 3]],
+        4: [[0], [1], [2], [3]],
+    }
+    n = n_prefix
+    splits: list[list[list[int]]] = []
+    while n > 1:
+        for f in (4, 2, 3):
+            if n % f == 0:
+                splits.append(groups_of[f])
+                n //= f
+                break
+        else:
+            raise ValueError(
+                f"{n_prefix} prefix rows: a per-depth symbol-mask "
+                "partition exists only for row counts whose prime "
+                "factors are <= 4; for other counts give each worker an "
+                "explicit prefix list (parallel/multihost.owned_prefixes "
+                "+ per-prefix episodes, the reference's hash-array "
+                "topology)")
+    return splits or [groups_of[1]]
+
+
 def row_prefix_masks(n_prefix: int) -> np.ndarray:
     """(n_prefix, k, 4) bool per-depth symbol masks implementing an
-    AA..TT-style contiguous partition of the 4**k length-k DNA prefixes
-    into n_prefix rows (k = prefix_depth(n_prefix)).
+    AA..TT-style partition of the length-k DNA prefixes into n_prefix
+    rows (k = number of split depths).
 
-    Row r owns prefixes with base-4 index in [r*stride, (r+1)*stride),
-    stride = 4**k // n_prefix.  Because n_prefix is a power of two the
-    owned range is "aligned": at every depth the allowed symbols are
-    path-independent, so the ownership is exactly a per-depth mask —
-    which is what the mining engines consume (mirrors the reference's
-    one-enforcepath-per-server topology, metaenumerate.cpp:268-309)."""
-    if n_prefix & (n_prefix - 1):
-        raise ValueError("prefix rows must be a power of two")
-    k = prefix_depth(n_prefix)
-    if k == 0:
+    Each depth d splits the symbol alphabet into contiguous groups and
+    a row owns one group per depth — so ownership is path-independent
+    per depth, exactly the per-depth mask form the mining engines
+    consume (mirroring the reference's one-enforcepath-per-server
+    topology, metaenumerate.cpp:268-309; wrapper-SLURM 16/64-server
+    hash arrays).  Works for ANY row count whose prime factors are
+    <= 4 (2, 3, 4, 6, 8, 12, 16, ...); counts with a 3-way depth split
+    carry a mild load imbalance (one group owns two symbols).  For
+    other counts (5, 7, ...) use owned_prefixes' explicit lists."""
+    splits = _depth_splits(n_prefix)
+    if n_prefix == 1:
         return np.ones((1, 0, 4), dtype=bool)
-    stride, rem = divmod(4 ** k, n_prefix)
-    if rem:
-        raise ValueError("prefix rows must divide 4**k")
+    k = len(splits)
     masks = np.zeros((n_prefix, k, 4), dtype=bool)
     for r in range(n_prefix):
-        lo, hi = r * stride, (r + 1) * stride
-        for d in range(k):
-            unit = 4 ** (k - 1 - d)
-            syms = {(i // unit) % 4 for i in range(lo, hi)}
-            masks[r, d, sorted(syms)] = True
+        rr = r
+        for d in range(k - 1, -1, -1):
+            groups = splits[d]
+            g = rr % len(groups)
+            rr //= len(groups)
+            masks[r, d, groups[g]] = True
     return masks
 
 
 def prefixes_of_row(n_prefix: int, row: int) -> list[bytes]:
-    """The length-k DNA prefixes row `row` owns (contiguous partition,
-    matching row_prefix_masks)."""
-    k = prefix_depth(n_prefix)
-    stride = 4 ** k // n_prefix
+    """The length-k DNA prefixes row `row` owns (cartesian product of
+    its per-depth symbol groups, matching row_prefix_masks)."""
+    from itertools import product
+
+    masks = row_prefix_masks(n_prefix)
+    k = masks.shape[1]
     bases = b"ACGT"
-    out = []
-    for i in range(row * stride, (row + 1) * stride):
-        digs = [(i // 4 ** (k - 1 - d)) % 4 for d in range(k)]
-        out.append(bytes(bases[x] for x in digs))
-    return out
+    opts = [[i for i in range(4) if masks[row, d, i]] for d in range(k)]
+    return [bytes(bases[x] for x in digs) for digs in product(*opts)]
