@@ -68,22 +68,151 @@ def build_indexes(fastas: list[str]):
     from dsm_tpu.index.fmindex import FMIndex
 
     # construction runs on-accelerator (prefix-doubling over lax.sort,
-    # ops/sa.py); the host path is the small-input/CI fallback
+    # ops/sa.py); the host path is the small-input/CI fallback.
+    # index_build_s is ALWAYS a fresh measurement (VERDICT r3 #4: a
+    # cache hit must never report 0.0): the first sample is rebuilt
+    # from scratch every run; when the rest are cache hits the total is
+    # extrapolated by symbol count and labelled as such.
     backend = "numpy" if jax.default_backend() == "cpu" else "jax"
-    idxs, secs = [], 0.0
-    for path in fastas:
+    idxs, timed, syms_timed = [], 0.0, 0
+    fresh_all = True
+    for i, path in enumerate(fastas):
         cache = path + ".dtfmi"
-        if os.path.exists(cache):
+        if os.path.exists(cache) and i > 0:
             idxs.append(FMIndex.load(cache))
+            fresh_all = False
             continue
         texts = [transform(rec.seq) for rec in read_fasta(path)]
         t0 = time.perf_counter()
         idx = FMIndex.from_texts(texts, names=[os.path.basename(path)],
                                  sa_backend=backend)
-        secs += time.perf_counter() - t0
+        timed += time.perf_counter() - t0
+        syms_timed += sum(len(t) for t in texts)
         idx.save(cache)
         idxs.append(idx)
-    return idxs, secs
+    total_syms = sum(i.n for i in idxs)
+    if fresh_all:
+        return idxs, timed, "measured"
+    return idxs, timed * total_syms / max(syms_timed, 1), "extrapolated"
+
+
+def bench_backward_search_steps(idxs) -> float:
+    """Pure backward-search microbench (BASELINE.md: steps/s/chip).
+
+    One step = one LF interval extension = ranks at both interval ends
+    (the engines batch lo||hi into one occ_cum call).  Times a jitted
+    fori_loop of full-width batches against the real stacked tables."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from dsm_tpu.mining.engine import DeviceIndexes
+    from dsm_tpu.ops.rank import BLOCK, LOG2_BLOCK, occ_cum
+
+    dev = DeviceIndexes.build(idxs)
+    Q = 1 << 22
+    ITERS = 8
+    ns = jnp.asarray(np.asarray(dev.ns), jnp.int32)
+    sid = jax.random.randint(jax.random.PRNGKey(0), (Q,), 0, dev.S)
+    soff = jnp.asarray(dev.soff, jnp.int32)[sid]
+    nq = ns[sid]
+    key = jax.random.PRNGKey(1)
+    lo = (jax.random.randint(key, (Q,), 0, 1 << 30) % nq).astype(jnp.int32)
+    hi = jnp.minimum(lo + jax.random.randint(key, (Q,), 1, 64), nq)
+
+    def body(i, carry):
+        lo, hi, acc = carry
+        pos = jnp.concatenate([lo, hi])
+        so2 = jnp.concatenate([soff, soff])
+        cum = occ_cum(dev.frows, (pos >> LOG2_BLOCK) + so2,
+                      pos & (BLOCK - 1))
+        # fold the A-extension back into the query stream (data
+        # dependence defeats loop-invariant hoisting)
+        nlo = jnp.minimum(cum[:Q, 1], nq)
+        nhi = jnp.minimum(cum[Q:, 1], nq)
+        ok = nhi > nlo
+        return (jnp.where(ok, nlo, lo), jnp.where(ok, nhi, hi),
+                acc + cum[:Q, 0].sum())
+
+    fn = jax.jit(lambda lo, hi: lax.fori_loop(
+        0, ITERS, body, (lo, hi, jnp.int32(0))))
+    jax.block_until_ready(fn(lo, hi))          # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(lo, hi))
+    dt = time.perf_counter() - t0
+    return Q * ITERS / dt
+
+
+def run_scaling_block(scaling_scale: int) -> dict:
+    """Correctness + throughput of the multi-device paths on virtual CPU
+    meshes (BASELINE.md scaling row; real multi-chip hardware is not
+    reachable from this harness — the same code paths ride ICI/DCN
+    there).  Each case runs in a subprocess so the main process keeps
+    the TPU backend."""
+    cases = {}
+    for name, args in (("1host_8dev_mesh", ["sharded", "8"]),
+                       ("2proc_global_mesh", ["2proc", "2"])):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--scaling-worker", *args, str(scaling_scale)]
+        try:
+            p = subprocess.run(cmd, capture_output=True, timeout=1800,
+                               cwd=HERE)
+            cases[name] = json.loads(p.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            cases[name] = {"error": str(e)[:200]}
+    return cases
+
+
+def scaling_worker(mode: str, n_dev: int, scale: int) -> None:
+    """Subprocess body for run_scaling_block (forced CPU backend)."""
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + f" --xla_force_host_platform_device_count={n_dev}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    datadir = os.path.join(f"/tmp/dsm_tpu_bench_s{scale}", "data")
+    if not os.path.exists(os.path.join(datadir, ".complete")):
+        from tests.make_toydata import make_toydata
+
+        os.makedirs(datadir, exist_ok=True)
+        make_toydata(datadir, scale=scale)
+        open(os.path.join(datadir, ".complete"), "w").close()
+    fastas = [os.path.join(datadir, f"toy{s}.fasta") for s in range(5)]
+    idxs, _, _ = build_indexes(fastas)
+    from dsm_tpu.mining.config import MiningConfig
+
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    if mode == "sharded":
+        from dsm_tpu.parallel.engine_episode import mine_device_sharded
+
+        mine_device_sharded(idxs, cfg)     # compile warmup
+        t0 = time.perf_counter()
+        out = mine_device_sharded(idxs, cfg)
+        wall = time.perf_counter() - t0
+        print(json.dumps({"paths": out.total_paths,
+                          "paths_per_s": round(out.total_paths / wall, 1),
+                          "wall_s": round(wall, 2), "devices": n_dev}))
+    elif mode == "2proc":
+        import tempfile
+
+        worker = os.path.join(HERE, "tests", "multihost_mesh_worker.py")
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            procs = [subprocess.Popen(
+                [sys.executable, worker, str(pid), "2", "localhost:57791",
+                 os.path.join(td, f"o{pid}")],
+                env={**os.environ, "PYTHONPATH": HERE}, cwd=HERE,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+                for pid in range(2)]
+            errs = [p.communicate(timeout=1700)[1] for p in procs]
+            wall = time.perf_counter() - t0
+            if any(p.returncode for p in procs):
+                raise RuntimeError(errs[0].decode()[-300:])
+            blobs = [open(os.path.join(td, f"o{pid}"), "rb").read()
+                     for pid in range(2)]
+        print(json.dumps({"identical_outputs": blobs[0] == blobs[1],
+                          "lines": blobs[0].count(b"\n"),
+                          "wall_s": round(wall, 2), "processes": 2}))
 
 
 def run_ours(idxs):
@@ -186,34 +315,47 @@ def run_reference(fastas: list[str]) -> dict | None:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        return
     from dsm_tpu.utils.jaxsetup import setup_jax
 
     setup_jax()
     fastas = make_dataset()
-    idxs, build_secs = build_indexes(fastas)
+    idxs, build_secs, build_kind = build_indexes(fastas)
     import jax
 
     platform = jax.devices()[0].platform
     log(f"bench: scale={SCALE}, platform={platform}, "
-        f"n={sum(i.n for i in idxs)} symbols indexed ({build_secs:.1f}s build)")
+        f"n={sum(i.n for i in idxs)} symbols indexed "
+        f"({build_secs:.1f}s build, {build_kind})")
 
     out, wall = run_ours(idxs)
     ours_rate = out.total_paths / wall
     log(f"bench: ours  {out.total_paths} paths in {wall:.2f}s "
         f"-> {ours_rate:,.0f} paths/s ({out.total_output} reported)")
 
-    ref = None
+    steps = bench_backward_search_steps(idxs)
+    log(f"bench: backward-search {steps/1e6:,.0f}M steps/s/chip")
+
+    scaling = {}
+    if os.environ.get("DSM_BENCH_SKIP_SCALING") != "1":
+        scaling = run_scaling_block(
+            int(os.environ.get("DSM_BENCH_SCALING_SCALE", "1")))
+        log(f"bench: scaling {json.dumps(scaling)}")
+
+    # both baselines, always (VERDICT r3 weak #2: the live rerun swings
+    # with bench-host co-tenancy; the frozen number anchors comparisons)
+    with open(BASELINE_FILE) as f:
+        frozen_all = json.load(f)
+    frozen = frozen_all["reference"] if frozen_all["scale"] == SCALE else None
+    live = None
     if os.environ.get("DSM_BENCH_SKIP_REF") != "1" and build_reference():
-        ref = run_reference(fastas)
-    baseline_kind = "live-reference"
-    if ref is None:
-        baseline_kind = "frozen-reference"
-        with open(BASELINE_FILE) as f:
-            frozen = json.load(f)
-        if frozen["scale"] != SCALE:
-            raise SystemExit(f"frozen baseline is scale {frozen['scale']}, "
-                             f"bench ran scale {SCALE}")
-        ref = frozen["reference"]
+        live = run_reference(fastas)
+    if live is None and frozen is None:
+        raise SystemExit(f"no reference baseline available at scale {SCALE}")
+    ref, baseline_kind = ((live, "live-reference") if live is not None
+                          else (frozen, "frozen-reference"))
     if not ref.get("total_paths"):
         raise SystemExit("bench: reference run produced no path counters")
     ref_rate = ref["total_paths"] / ref["mine_wall_s"]
@@ -225,21 +367,29 @@ def main() -> None:
             f"ref={ref['total_paths']} — a perf number from a wrong "
             "traversal is meaningless, refusing to report one")
 
+    detail = {
+        "scale": SCALE,
+        "platform": platform,
+        "paths": out.total_paths,
+        "reported": out.total_output,
+        "mine_wall_s": round(wall, 3),
+        "index_build_s": round(build_secs, 3),
+        "index_build_timing": build_kind,
+        "baseline": baseline_kind,
+        "ref_paths_per_s": round(ref_rate, 1),
+        "steps_per_s_chip": round(steps, 1),
+        "scaling": scaling,
+    }
+    if frozen is not None:
+        fr = frozen["total_paths"] / frozen["mine_wall_s"]
+        detail["frozen_ref_paths_per_s"] = round(fr, 1)
+        detail["vs_frozen"] = round(ours_rate / fr, 3)
     print(json.dumps({
         "metric": "substrings_enumerated_per_s",
         "value": round(ours_rate, 1),
         "unit": "paths/s",
         "vs_baseline": round(ours_rate / ref_rate, 3),
-        "detail": {
-            "scale": SCALE,
-            "platform": platform,
-            "paths": out.total_paths,
-            "reported": out.total_output,
-            "mine_wall_s": round(wall, 3),
-            "index_build_s": round(build_secs, 3),
-            "baseline": baseline_kind,
-            "ref_paths_per_s": round(ref_rate, 1),
-        },
+        "detail": detail,
     }))
 
 

@@ -68,8 +68,12 @@ def de_bruijn(k: int, order: int) -> np.ndarray:
     return BASES[arr]
 
 
-def make_toydata(outdir: str, scale: int = 1) -> list[str]:
-    rng = np.random.default_rng(0xD5A2)
+GOLDEN_SEED = 0xD5A2   # the frozen goldens were generated with this
+
+
+def make_toydata(outdir: str, scale: int = 1,
+                 seed: int = GOLDEN_SEED) -> list[str]:
+    rng = np.random.default_rng(seed)
     nspecies = 6
     glen = 800 * scale
     species = [_genome(rng, glen) for _ in range(nspecies)]
