@@ -157,17 +157,26 @@ def occ_cum(rows, blk, rem):
     # bitcast, not convert: baked-C4 tables (fused_rows c4=) store
     # negative K offsets as wrapped uint32
     base = lax.bitcast_convert_type(g[..., 1:6], jnp.int32)
-    planes = g[..., 8:28].reshape(g.shape[:-1] + (_NPLANES, 4))
+    # Stay FLAT: any (..., 5, 4)/(..., 1, 4) intermediate costs ~17 ms
+    # per 3M queries on v5e (tools/micro_occ.py) while the (..., 20)
+    # forms ride on top of the gather for free; the per-plane word sums
+    # are one tiny MXU dot (popcounts <= 32 are exact in f32).
+    planes20 = g[..., 8:28]                              # (..., 20)
     w = rem >> 5
     bit = (rem & 31).astype(jnp.uint32)
-    widx = jnp.arange(4, dtype=jnp.int32)
-    full = jnp.where(widx < w[..., None], jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-    part = jnp.where(widx == w[..., None],
+    widx20 = jnp.tile(jnp.arange(4, dtype=jnp.int32), _NPLANES)
+    full = jnp.where(widx20 < w[..., None],
+                     jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    part = jnp.where(widx20 == w[..., None],
                      (jnp.uint32(1) << bit[..., None]) - jnp.uint32(1),
                      jnp.uint32(0))
-    mask = (full | part)[..., None, :]                   # (..., 1, 4)
-    cnt = lax.population_count(planes & mask).sum(-1).astype(jnp.int32)
-    return base + cnt
+    pc = lax.population_count(planes20 & (full | part))  # (..., 20)
+    sel = np.zeros((4 * _NPLANES, _NPLANES), np.float32)
+    for j in range(_NPLANES):
+        sel[4 * j:4 * j + 4, j] = 1.0
+    cnt = jnp.dot(pc.astype(jnp.float32), jnp.asarray(sel),
+                  preferred_element_type=jnp.float32)
+    return base + cnt.astype(jnp.int32)
 
 
 def occ_cum_np(table: OccTable, pos: np.ndarray) -> np.ndarray:
