@@ -27,6 +27,15 @@ Design (TPU-native):
 
 The output is allocated N+BLK rows so every full-block write stays in
 bounds; callers receive the leading `width` rows.
+
+STATUS on the current toolchain (jax 0.9.0 + axon remote compile): the
+kernel is correct in interpret mode, but the remote Mosaic compile
+helper returns HTTP 500 for ANY kernel containing async-DMA semaphores
+(bisected: a trivial grid+SMEM-carry kernel compiles; adding one
+make_async_copy crashes the helper), and plain dynamic-offset VMEM
+stores trip a masked-swap lowering bug.  Both building blocks are
+required here, so the production episode keeps the multi-operand-sort
+compaction (ops/compact.compact_kidx_sort) until the toolchain moves.
 """
 
 from __future__ import annotations
@@ -40,7 +49,8 @@ TILE = 128
 
 
 def _kernel(c: int, tril_ref, mask_ref, vlo_ref, vhi_ref, out_lo_ref,
-            out_hi_ref, cnt_ref, off_smem, scratch_lo, scratch_hi, sem):
+            out_hi_ref, cnt_ref, off_smem, scratch_lo, scratch_hi,
+            tile_lo, tile_hi, sem):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -48,19 +58,19 @@ def _kernel(c: int, tril_ref, mask_ref, vlo_ref, vhi_ref, out_lo_ref,
     from jax.experimental.pallas import tpu as pltpu
 
     step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        off_smem[0] = 0
+    # unpredicated select: a store under pl.when trips a Mosaic masked-
+    # swap lowering bug on this toolchain
+    off_smem[0] = jnp.where(step == 0, 0, off_smem[0])
 
     tril = tril_ref[:, :]
-    iota_c = lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1)
+    iota_c = lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
 
     local = jnp.int32(0)
     for t in range(BLK // TILE):
         sl = pl.ds(t * TILE, TILE)
         m = mask_ref[sl, :]                                # (TILE, 1) f32
-        rank = jnp.dot(tril, m, preferred_element_type=jnp.float32)
+        rank = jnp.dot(tril, m, preferred_element_type=jnp.float32
+                       ).astype(jnp.int32)
         selT = jnp.where(rank == iota_c, m, 0.0)           # (i, r)
         dn = (((0,), (0,)), ((), ()))
         vlo = lax.dot_general(selT, vlo_ref[sl, :], dimension_numbers=dn,
@@ -68,8 +78,19 @@ def _kernel(c: int, tril_ref, mask_ref, vlo_ref, vhi_ref, out_lo_ref,
         vhi = lax.dot_general(selT, vhi_ref[sl, :], dimension_numbers=dn,
                               preferred_element_type=jnp.float32)
         k = jnp.sum(m, dtype=jnp.float32).astype(jnp.int32)
-        scratch_lo[pl.ds(local, TILE), :] = vlo
-        scratch_hi[pl.ds(local, TILE), :] = vhi
+        # dynamic-offset VMEM stores trip a Mosaic masked-swap lowering
+        # bug on this toolchain; a VMEM->VMEM DMA at a dynamic
+        # destination offset is fine
+        tile_lo[:, :] = vlo
+        tile_hi[:, :] = vhi
+        cpl = pltpu.make_async_copy(
+            tile_lo, scratch_lo.at[pl.ds(local, TILE)], sem)
+        cpl.start()
+        cpl.wait()
+        cph = pltpu.make_async_copy(
+            tile_hi, scratch_hi.at[pl.ds(local, TILE)], sem)
+        cph.start()
+        cph.wait()
         local = local + k
 
     off = off_smem[0]
@@ -128,6 +149,8 @@ def _jitted_call(n: int, c: int):
                 pltpu.SMEM((1,), jnp.int32),
                 pltpu.VMEM((BLK + TILE, c), jnp.float32),
                 pltpu.VMEM((BLK + TILE, c), jnp.float32),
+                pltpu.VMEM((TILE, c), jnp.float32),
+                pltpu.VMEM((TILE, c), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         )(jnp.asarray(tril_h), mcol, vlo, vhi)
