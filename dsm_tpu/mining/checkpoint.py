@@ -42,8 +42,10 @@ FORMAT = 5
 # The episode's `boost` scalar is intentionally NOT here: 0 is always a
 # safe resume value (worst case one extra bucket-refit retry on the
 # first resumed level).
+# "eskip" records burst-chunk progress within a partially-emitted level
+# (engine_device chunked emit); absent in older snapshots -> 0.
 _STATE_KEYS = ("pairs", "nvalid", "depth", "total_paths",
-               "ent_min", "ent_max")
+               "ent_min", "ent_max", "eskip")
 
 
 def _fingerprint(cfg: MiningConfig, prefix: bytes, ns) -> np.ndarray:

@@ -101,6 +101,7 @@ PAIR_HEADROOM = 2     # PROW = PAIR_HEADROOM * NCAP (avg active samples per
 #                       node is ~1.3 on real metagenomes; overflow grows)
 GROWTH = 4            # capacity growth factor on (rare) overflow
 OUT_RESERVE = 1 << 15  # drained-output buffer target size (pair rows)
+EMIT_W = 1 << 13       # per-level emit staging width (chunked past this)
 LVL_CAP = 1 << 13      # per-segment level-offset slots
 ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
 DECODE_K = 4096        # rows per on-device path-decode dispatch
@@ -246,7 +247,9 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
     ncap = cap
     prow = PAIR_HEADROOM * cap
     nbrow = prow + 2
-    ocap = OUT_RESERVE + prow + 1
+    # emission is chunked at EMIT_W rows per level, so the out buffer no
+    # longer scales with capacity (it used to be OUT_RESERVE + prow)
+    ocap = OUT_RESERVE + EMIT_W + 1
     ns32 = jnp.asarray(dev.ns, jnp.int32)
     sid0 = jnp.arange(S, dtype=jnp.int32)
     pr = jnp.zeros((2, prow, 8), jnp.int32)
@@ -266,6 +269,7 @@ def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
         nlev=jnp.asarray(0, jnp.int32),
         out=jnp.zeros((ocap, 8), jnp.int32),
         ocount=jnp.asarray(0, jnp.int32),
+        eskip=jnp.asarray(0, jnp.int32),
         boost=jnp.asarray(0, jnp.int32),
         total_paths=jnp.asarray(0, jnp.int32),
         ent_min=jnp.asarray(np.inf, jnp.float32),
@@ -474,10 +478,11 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
 
     # ---- gates (metaserver.cpp:403-417; left-branching at drain) ------
     numchildren = exists.sum(axis=-1)
-    single_idx = jnp.argmax(exists, axis=-1)
+    # with exactly one existing child, the masked count sum IS that
+    # child's count — no take_along_axis (a (B,4) gather fusion costs
+    # ~17 ms per plateau level on v5e; this is free)
     single_full = (numchildren == 1) & (
-        jnp.take_along_axis(cnt, single_idx[..., None], axis=-1)[..., 0]
-        == nact)
+        jnp.where(exists, cnt, 0).sum(axis=-1) == nact)
     sumN = (S_total + sumf).astype(jnp.float32)
     ent32 = jnp.log(sumN) / np.float32(LOG2) - sumnln / sumN
     present = validn & (nact > 0) & (depth >= 1)
@@ -577,38 +582,46 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
         nb_next, pair_count[None, None],
         (wpar, jnp.minimum(child_total, jnp.int32(nbrow - 1))))
 
-    # ---- emit: compact gated pairs into the out rows -------------------
-    # (a level's garbage tail beyond its kept count is overwritten by the
-    # next level's write; the final tail sits beyond ocount, never read)
-    # Every stored valid pair has a non-empty interval (children require
-    # freq >= fmin >= 1; seeds have n >= 1), so the gated-pair count is
-    # a NODE-level dot product with this shard's per-node pair counts —
-    # the per-pair work runs only inside the rare emit branch.
-    k_o = jnp.sum(jnp.where(nd_out, nact_loc, 0), dtype=jnp.int32)
+    # ---- emit: stage gated pairs, append unconditionally ---------------
+    # A lax.cond whose carried value is the out buffer COPIES it every
+    # level (~16 ms per plateau level per cond in the device trace), so
+    # the buffer never enters a cond: gated rows are built into a SMALL
+    # (W, 8) staging block under the (rare) k_o > 0 branch, and the
+    # staging block is dynamic_update_slice'd into `out` on EVERY level
+    # — when nothing is gated it writes zeros beyond ocount, which is
+    # exactly the existing garbage-tail contract.  Levels emitting more
+    # than W rows drain in W-row chunks: `eskip` tracks how many gated
+    # rows earlier chunks of THIS level already emitted, the level stays
+    # uncommitted, and FLAG_DRAIN hands the chunk to the host.
+    # Chunks cut at NODE boundaries (a node's pairs split across drains
+    # would print as two half-lines), using GLOBAL per-node pair counts
+    # so every shard selects the same node set; a node has <= S <=
+    # MAX_SAMPLES < EMIT_W pairs, so each chunk advances >= 1 node.
+    W = min(EMIT_W, B)
+    estart = state["eskip"]
+    gp = jnp.where(nd_out, nact, 0)                    # global pairs/node
+    cum_gp = jnp.cumsum(gp)                            # inclusive (B,)
+    tg = cum_gp[B - 1]                                 # total gated pairs
+    take_node = nd_out & (cum_gp > estart) & (cum_gp <= estart + W)
+    cut = jnp.max(jnp.where(take_node, cum_gp, estart))
 
-    def emit_at(W, out):
-        oflag = validp & jnp.take(nd_out, jnp.minimum(nid, B - 1))
+    def build_stage(_):
+        sel = validp & jnp.take(take_node, jnp.minimum(nid, B - 1))
         orows = jnp.concatenate(
             [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
              jnp.full((B, 1), depth, jnp.int32),
              jnp.zeros((B, 3), jnp.int32)], axis=1)    # (B, 8)
-        kidx_o, _ = compact_kidx_sort(oflag, W)
-        return lax.dynamic_update_slice(
-            out, jnp.take(orows, kidx_o, axis=0),
-            (jnp.minimum(state["ocount"], jnp.int32(ocap - W)), 0))
+        kidx_o, wrote = compact_kidx_sort(sel, W)
+        return jnp.take(orows, kidx_o, axis=0), wrote  # (W, 8), local
 
-    OUT_W = DEV_MIN_CAP
-    if B <= OUT_W:
-        out = lax.cond(k_o == 0, lambda o: o,
-                       functools.partial(emit_at, B), state["out"])
-    else:
-        out = lax.cond(
-            k_o == 0, lambda o: o,
-            lambda o: lax.cond(k_o <= OUT_W,
-                               functools.partial(emit_at, OUT_W),
-                               functools.partial(emit_at, B), o),
-            state["out"])
-    oc = state["ocount"] + k_o
+    stage, wrote = lax.cond(
+        tg > estart,
+        build_stage,
+        lambda _: (jnp.zeros((W, 8), jnp.int32), jnp.int32(0)), 0)
+    out = lax.dynamic_update_slice(
+        state["out"], stage,
+        (jnp.minimum(state["ocount"], jnp.int32(ocap - W)), 0))
+    oc = state["ocount"] + wrote
 
     # ---- flags + commit (identical on every shard: per-shard
     # predicates are any-reduced over the mesh) ---------------------------
@@ -617,13 +630,16 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
     # capacity): redo the level at the next bucket size
     refit = ~grow & ((pair_count > wp) | (child_total > wn))
     drain = oc > sc.out_reserve
+    burst = cut < tg                # gated nodes remain beyond this chunk
     if axis_name is not None:
         grow = lax.psum(grow.astype(jnp.int32), axis_name) > 0
         refit = lax.psum(refit.astype(jnp.int32), axis_name) > 0
         drain = lax.psum(drain.astype(jnp.int32), axis_name) > 0
+        # burst/cut derive from psum'd nact: already uniform across shards
     histfull = (state["hist_len"] + child_total > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
-    commit = ~(grow | histfull | refit)
+    burst = burst & ~(grow | histfull | refit)
+    commit = ~(grow | histfull | refit | burst)
     boost = jnp.where(refit & ~histfull, state["boost"] + 1,
                       jnp.where(commit, 0, state["boost"]))
     flag = jnp.where(
@@ -633,11 +649,14 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
             jnp.where(
                 refit, FLAG_RUN,
                 jnp.where(
-                    child_total == 0, FLAG_DONE,
-                    jnp.where((child_total <= sc.tail_width)
-                              & (depth + 1 >= TAIL_MIN_DEPTH), FLAG_TAIL,
-                              jnp.where(drain, FLAG_DRAIN,
-                                        FLAG_RUN)))))).astype(jnp.int32)
+                    burst, FLAG_DRAIN,
+                    jnp.where(
+                        child_total == 0, FLAG_DONE,
+                        jnp.where((child_total <= sc.tail_width)
+                                  & (depth + 1 >= TAIL_MIN_DEPTH),
+                                  FLAG_TAIL,
+                                  jnp.where(drain, FLAG_DRAIN,
+                                            FLAG_RUN))))))).astype(jnp.int32)
 
     def keep_if(new, old):
         return jnp.where(commit, new, old)
@@ -657,7 +676,10 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
             state["hist_len"]),
         nlev=keep_if(state["nlev"] + 1, state["nlev"]),
         out=out,
-        ocount=keep_if(oc, state["ocount"]),
+        # chunk progress must survive the burst redo: the written rows
+        # leave with the drain, so ocount advances on commit OR burst
+        ocount=jnp.where(commit | burst, oc, state["ocount"]),
+        eskip=jnp.where(commit, 0, jnp.where(burst, cut, estart)),
         boost=boost,
         total_paths=keep_if(total_paths, state["total_paths"]),
         ent_min=keep_if(ent_min, state["ent_min"]),

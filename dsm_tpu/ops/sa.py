@@ -64,18 +64,33 @@ def suffix_array_jax(codes) -> "jax.Array":  # noqa: F821
 
     Mirrors `suffix_array_np`; rounds run under lax.while_loop with an
     early-exit predicate on all-ranks-unique.
+
+    The input is right-padded with rank -1 to the next power of two so
+    EVERY text length shares one compiled program (a fresh XLA compile
+    costs minutes on a remote-compile TPU toolchain; the padded program
+    compiles once and persists in the cache).  -1 padding reproduces
+    the out-of-range convention of `suffix_array_np`'s lexsort exactly:
+    a window comparison that runs past the text sees a sub-real rank at
+    the same offset it would have seen -1, so real-suffix order is
+    unchanged; and because every padding suffix starts with -1 < any
+    code, the padding occupies exactly the first SA slots — the real
+    suffix array is the trailing slice.
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    n = int(codes.shape[0])
-    if n <= 1:
-        return jnp.zeros(n, dtype=jnp.int32)
-    if n >= (1 << 31):
+    n_real = int(codes.shape[0])
+    if n_real <= 1:
+        return jnp.zeros(n_real, dtype=jnp.int32)
+    if n_real >= (1 << 31):
         raise ValueError("suffix_array_jax requires n < 2**31")
+    n = 1 << (n_real - 1).bit_length()
 
-    codes = jnp.asarray(codes)
+    codes = jnp.asarray(codes).astype(jnp.int32)
+    if n > n_real:
+        codes = jnp.concatenate(
+            [codes, jnp.full(n - n_real, -1, jnp.int32)])
     iota = lax.iota(jnp.int32, n)
 
     def round_(state):
@@ -99,8 +114,9 @@ def suffix_array_jax(codes) -> "jax.Array":  # noqa: F821
     def cond(state):
         return jnp.logical_not(state[2])
 
-    rank0 = codes.astype(jnp.int32)
+    rank0 = codes
     rank, _, _ = lax.while_loop(cond, round_, (rank0, jnp.int32(1), jnp.bool_(False)))
     # rank is now the inverse permutation of the suffix array
     _, sa = lax.sort((rank, iota), num_keys=1)
-    return sa
+    # padding suffixes (all-smaller) fill the leading slots: slice off
+    return sa[n - n_real:]

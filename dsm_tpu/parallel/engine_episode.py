@@ -115,7 +115,7 @@ def _specs(mesh):
                   for k in ("pr", "nb", "parity", "npairs", "nnodes",
                             "depth", "hist", "hist_len", "lvl_off", "nlev",
                             "out", "ocount", "total_paths", "ent_min",
-                            "ent_max", "flag", "boost")}
+                            "ent_max", "flag", "boost", "eskip")}
     return sh, rep, state_spec
 
 
@@ -641,6 +641,7 @@ def mine_device_sharded(
                 "depth": state["depth"],
                 "total_paths": state["total_paths"],
                 "ent_min": state["ent_min"], "ent_max": state["ent_max"],
+                "eskip": state["eskip"],
                 "ocount": int(np.asarray(jax.device_get(
                     state["ocount"])).sum())}
         save_checkpoint(checkpoint, view, out, cfg, prefix, real_ns,

@@ -90,9 +90,13 @@ def main() -> None:
         print(f"  {name:40s} {(time.perf_counter()-t0)/reps*1e3:8.2f} ms",
               file=sys.stderr, flush=True)
 
-    full = functools.partial(ed._level_at_bucket, B, dev.frows, dev.rrows,
-                             dev.S, sc, (), hist_cap)
-    bench("FULL level", full)
+    def fresh_full():
+        # a NEW function object per bench: jax caches traces on function
+        # identity, so reusing one partial would reuse the unpatched trace
+        return lambda st: ed._level_at_bucket(B, dev.frows, dev.rrows,
+                                              dev.S, sc, (), hist_cap, st)
+
+    bench("FULL level", fresh_full())
 
     # ablations: monkeypatched stage shortcuts
     import dsm_tpu.ops.rank as rank
@@ -108,8 +112,10 @@ def main() -> None:
 
     ed_occ = ed.occ_cum
     ed.occ_cum = occ_dummy
-    bench("no-occ (dummy ranks)", full)
-    ed.occ_cum = ed_occ
+    try:
+        bench("no-occ (dummy ranks)", fresh_full())
+    finally:
+        ed.occ_cum = ed_occ
 
     from jax import lax as _lax
     real_lax_sort = _lax.sort
@@ -120,7 +126,7 @@ def main() -> None:
 
     _lax.sort = fake_sort
     try:
-        bench("no-sorts (all sorts identity)", full)
+        bench("no-sorts (all sorts identity)", fresh_full())
     finally:
         _lax.sort = real_lax_sort
 
@@ -130,7 +136,7 @@ def main() -> None:
 
     _lax.sort = sort_key_only
     try:
-        bench("key-only sorts (payloads skipped)", full)
+        bench("key-only sorts (payloads skipped)", fresh_full())
     finally:
         _lax.sort = real_lax_sort
 
