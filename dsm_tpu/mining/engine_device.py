@@ -1037,6 +1037,20 @@ def mine_device(
                         out_reserve=min(out_reserve, OUT_RESERVE))
     prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
     debug = os.environ.get("DSM_DEBUG") == "1"
+    # SURVEY §5.1: DSM_TRACE=<dir> wraps the mining episodes in a JAX
+    # profiler trace (XLA-op device timeline; inspect the
+    # vm.trace.json.gz with tools/trace_summary.py or TensorBoard)
+    trace_dir = os.environ.get("DSM_TRACE")
+    if trace_dir:
+        import jax as _jax
+
+        _jax.profiler.start_trace(trace_dir)
+
+    def _stop_trace() -> None:
+        if trace_dir:
+            import jax as _jax2
+
+            _jax2.profiler.stop_trace()
     t0 = time.perf_counter()
 
     cap = _auto_cap(dev, cap)
@@ -1126,6 +1140,7 @@ def mine_device(
                           debug=debug, tracker=tracker)
             if checkpoint is not None and os.path.exists(checkpoint):
                 os.unlink(checkpoint)
+            _stop_trace()
             out.sort_postorder()
             return out
         if flag == FLAG_DRAIN:
@@ -1146,5 +1161,6 @@ def mine_device(
     out.largest_entropy = eM if np.isfinite(eM) else -1000.0
     if checkpoint is not None and os.path.exists(checkpoint):
         os.unlink(checkpoint)
+    _stop_trace()
     out.sort_postorder()
     return out

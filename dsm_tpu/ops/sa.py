@@ -65,16 +65,22 @@ def suffix_array_jax(codes) -> "jax.Array":  # noqa: F821
     Mirrors `suffix_array_np`; rounds run under lax.while_loop with an
     early-exit predicate on all-ranks-unique.
 
-    The input is right-padded with rank -1 to the next power of two so
-    EVERY text length shares one compiled program (a fresh XLA compile
-    costs minutes on a remote-compile TPU toolchain; the padded program
-    compiles once and persists in the cache).  -1 padding reproduces
-    the out-of-range convention of `suffix_array_np`'s lexsort exactly:
-    a window comparison that runs past the text sees a sub-real rank at
-    the same offset it would have seen -1, so real-suffix order is
-    unchanged; and because every padding suffix starts with -1 < any
-    code, the padding occupies exactly the first SA slots — the real
-    suffix array is the trailing slice.
+    The input is right-padded with DISTINCT negative codes to the next
+    power of two so EVERY text length shares one compiled program (a
+    fresh XLA compile costs minutes on a remote-compile TPU toolchain;
+    the padded program compiles once and persists in the cache).
+    Padding codes [-pad, ..., -1] (increasing toward the end):
+      * any window comparison between two REAL suffixes that runs past
+        the text is decided at the first padding touch, where exactly
+        one side is sub-real (both sides padding at the same offset
+        would need equal suffix starts) — the same outcome as
+        `suffix_array_np`'s -1 out-of-range convention, so real-suffix
+        order is unchanged;
+      * padding suffixes have distinct first codes, so the
+        prefix-doubling ranks separate immediately (a UNIFORM pad value
+        would leave one rank class and spin the early-exit loop
+        forever), and they all sort before every real suffix — the real
+        suffix array is exactly the trailing slice.
     """
     import jax
     import jax.numpy as jnp
@@ -89,8 +95,9 @@ def suffix_array_jax(codes) -> "jax.Array":  # noqa: F821
 
     codes = jnp.asarray(codes).astype(jnp.int32)
     if n > n_real:
+        pad = n - n_real
         codes = jnp.concatenate(
-            [codes, jnp.full(n - n_real, -1, jnp.int32)])
+            [codes, jnp.arange(-pad, 0, dtype=jnp.int32)])
     iota = lax.iota(jnp.int32, n)
 
     def round_(state):
