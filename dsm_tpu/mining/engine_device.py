@@ -606,7 +606,10 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
     cut = jnp.max(jnp.where(take_node, cum_gp, estart))
 
     def build_stage(_):
-        sel = validp & jnp.take(take_node, jnp.minimum(nid, B - 1))
+        # int32 gather: gathering packed bools relayouts at ~13 ms per
+        # plateau level (trace fusion.20); the int form is ~2x cheaper
+        sel = validp & (jnp.take(take_node.astype(jnp.int32),
+                                 jnp.minimum(nid, B - 1)) > 0)
         orows = jnp.concatenate(
             [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
              jnp.full((B, 1), depth, jnp.int32),
