@@ -21,7 +21,14 @@ import subprocess
 import sys
 import time
 
-REF_BIN = os.environ.get("DSM_REF_BIN", "/tmp/refsrc")
+def _default_ref_bin() -> str:
+    for cand in ("/tmp/refsrc", "/tmp/refsrc-bench"):
+        if os.path.exists(os.path.join(cand, "builder")):
+            return cand
+    return "/tmp/refsrc"
+
+
+REF_BIN = os.environ.get("DSM_REF_BIN") or _default_ref_bin()
 PREFIXES = ["A", "C", "G", "T"]
 
 # Mining configurations to freeze goldens for (server args, client args).
