@@ -57,6 +57,10 @@ becomes ONE jitted `lax.while_loop` episode, designed so that wall-clock
     host re-checks drained candidates in float64 with the reference's
     exact expression shapes (engine_np.node_entropy), so emitted lines
     are bit-identical to the oracle while the device never touches f64;
+  * gated rows leave through a SMALL staging block appended every
+    level (a lax.cond carrying the out buffer would copy it per level;
+    the buffer is 330 KB, not O(capacity)); levels gated past EMIT_W
+    rows drain in node-aligned chunks tracked by `eskip`;
   * the episode exits only to report: completion, output-buffer pressure
     (host drains, resumes), history pressure (host drains outputs, pulls
     the finished levels into PathHistory, resets — the level is redone
