@@ -181,6 +181,9 @@ def scaling_worker(mode: str, n_dev: int, scale: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    from dsm_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax()   # persistent compile cache across bench runs
     datadir = os.path.join(f"/tmp/dsm_tpu_bench_s{scale}", "data")
     if not os.path.exists(os.path.join(datadir, ".complete")):
         from tests.make_toydata import make_toydata
