@@ -52,6 +52,16 @@ from .engine_np import LC_N, LC_ZERO, MinedOutput, emit_level
 
 MIN_CAP = 1024
 EXT4 = (2, 3, 4, 6)  # codes of A, C, G, T (alphabet.EXT_CODES as a tuple)
+# Hard sample-count bound shared by the episode engines: the int32
+# entropy fixed-point windows (engine_device._nln_windows) are exact only
+# for <= 512 samples, and the reference itself caps a server at 273
+# readers (metaserver.cpp:19).  Also bounds the (soff, sid) sort-operand
+# packing below.
+MAX_SAMPLES = 512
+# engine_device packs a pair's occ-table row offset and sample id into
+# ONE int32 sort operand (soff * MAX_SAMPLES + sid), so the stacked
+# tables must keep soff * MAX_SAMPLES + MAX_SAMPLES - 1 < 2^31.
+MAX_TABLE_ROWS = 2**31 // MAX_SAMPLES
 
 
 @dataclass
@@ -111,6 +121,14 @@ class DeviceIndexes:
             offs.append(off)
             off += 1
             ns[s] = 1
+        if off >= MAX_TABLE_ROWS:
+            raise ValueError(
+                f"stacked occ tables need {off} rows, but the episode "
+                f"engine's (soff, sid) sort-operand packing supports at "
+                f"most {MAX_TABLE_ROWS - 1} (~{MAX_TABLE_ROWS * 128:,} "
+                "indexed symbols per device); shard the sample axis "
+                "over more devices (parallel/engine_episode.py) or "
+                "mine per-prefix partitions (parallel/mesh.py)")
         return cls(S=S, ns=ns,
                    frows=jnp.asarray(np.concatenate(fparts)),
                    rrows=jnp.asarray(np.concatenate(rparts)),
@@ -359,7 +377,9 @@ def mine_tpu(
     if reader_order == "level-gnu":
         reader_order = "gnu"
     if checkpoint is not None:
-        raise ValueError("checkpointing requires reader_order='ascending'")
+        raise ValueError("checkpointing requires reader_order='ascending' "
+                         "or 'gnu' (the episode engine); the legacy "
+                         "'level-gnu' per-level loop has no checkpoints")
     if dev is None:
         dev = DeviceIndexes.build(indexes)
     d = dev.S

@@ -95,7 +95,8 @@ from ..index.fmindex import FMIndex
 from ..ops.compact import compact_kidx_sort
 from ..ops.rank import BLOCK, LOG2_BLOCK, occ_cum
 from .config import MiningConfig
-from .engine import DeviceIndexes, _occ_psum4, leftchar_codes_pairs
+from .engine import (MAX_SAMPLES, DeviceIndexes, _occ_psum4,
+                     leftchar_codes_pairs)
 from .engine_np import LOG2, MinedOutput, node_entropy
 
 LB_MIN = 13           # smallest level bucket: 2^13 = 8192
@@ -109,7 +110,6 @@ EMIT_W = 1 << 13       # per-level emit staging width (chunked past this)
 LVL_CAP = 1 << 13      # per-segment level-offset slots
 ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
 DECODE_K = 4096        # rows per on-device path-decode dispatch
-MAX_SAMPLES = 512      # _nln_windows int32 bound (see _NLN_FP derivation)
 (FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_HISTFULL,
  FLAG_TAIL) = range(6)
 
@@ -972,9 +972,12 @@ def _resize_state(state, dev: DeviceIndexes, cap: int, hist_cap: int):
     and the current history segment."""
     fresh = _seed_episode(dev, cap, hist_cap)
     out = dict(fresh)
+    # eskip must survive the resize: a checkpoint resumed mid-burst can
+    # grow with eskip > 0, and resetting it would re-emit (duplicate)
+    # the already-drained chunk rows
     for k in ("parity", "npairs", "nnodes", "depth", "hist_len", "nlev",
               "ocount", "total_paths", "ent_min", "ent_max", "flag",
-              "lvl_off", "boost"):
+              "lvl_off", "boost", "eskip"):
         out[k] = state[k]
     ncopy = min(state["pr"].shape[1], fresh["pr"].shape[1])
     out["pr"] = fresh["pr"].at[:, :ncopy].set(state["pr"][:, :ncopy])
@@ -1028,8 +1031,9 @@ def mine_device(
         raise ValueError(
             f"mine_device supports at most {MAX_SAMPLES} samples "
             f"(got {dev.S}): the int32 entropy fixed-point windows "
-            "(_nln_windows) guarantee exactness only to that bound; "
-            "shard the sample axis (parallel/engine_sharded.py)")
+            "(_nln_windows) guarantee exactness only to that bound "
+            "(the reference caps a server at 273 readers, "
+            "metaserver.cpp:19)")
     d = dev.S
     out = MinedOutput(freq_histogram=np.zeros(d, dtype=np.int64))
     tracker = None

@@ -515,8 +515,10 @@ def _resize_sharded(state, dev: ShardedIndexes, n_shards: int,
     new["out"] = jnp.asarray(outs)
     new["ocount"] = state["ocount"]
     new["parity"] = jnp.asarray(0, jnp.int32)
+    # eskip rides along: resetting it after a mid-burst resume would
+    # re-emit already-drained chunk rows (see engine_device._resize_state)
     for k in ("nnodes", "depth", "hist_len", "nlev", "lvl_off",
-              "total_paths", "ent_min", "ent_max", "boost"):
+              "total_paths", "ent_min", "ent_max", "boost", "eskip"):
         new[k] = state[k]
     hn = min(state["hist"].shape[0], fresh["hist"].shape[0])
     new["hist"] = fresh["hist"].at[:hn].set(state["hist"][:hn])
@@ -565,8 +567,19 @@ def mine_device_sharded(
                          "prefix (see docstring)")
     n_shards = mesh.shape[SAMPLES_AXIS]
     d = len(indexes)
-    if d > MAX_SAMPLES * n_shards:
-        raise ValueError(f"at most {MAX_SAMPLES} samples per shard")
+    # the GLOBAL bound is MAX_SAMPLES, not MAX_SAMPLES per shard: the
+    # psum'd entropy fixed-point windows (engine_device._nln_windows)
+    # stay int32-exact only for <= 512 total samples, and every gated
+    # node (<= d global pairs) must fit one EMIT_W emit chunk or the
+    # burst drain loop cannot advance.  The reference itself caps a
+    # server at 273 readers (metaserver.cpp:19).
+    if d > MAX_SAMPLES:
+        raise ValueError(
+            f"at most {MAX_SAMPLES} samples per mining episode (got {d}; "
+            "the reference caps a server at 273 readers too, "
+            "metaserver.cpp:19) — split the sample set across "
+            "independent episodes and merge, or raise MAX_SAMPLES with "
+            "a wider entropy fixed-point layout")
     pad_to = -(-d // n_shards) * n_shards
     dev = ShardedIndexes.build(indexes, pad_to=pad_to)
     S_loc = dev.S // n_shards
