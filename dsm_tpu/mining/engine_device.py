@@ -93,7 +93,7 @@ import numpy as np
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
 from ..ops.compact import compact_kidx_sort
-from ..ops.rank import BLOCK, LOG2_BLOCK, occ_cum
+from ..ops.rank import BLOCK, LOG2_BLOCK, occ_cum, occ_cum8T
 from .config import MiningConfig
 from .engine import (MAX_SAMPLES, DeviceIndexes, _occ_psum4,
                      leftchar_codes_pairs)
@@ -695,6 +695,312 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
     )
 
 
+def _nln_windows_w(term, wbits: int, nwin: int):
+    """Generalized fixed-point windows of v = trunc(term * 2^_NLN_FP):
+    nwin windows of wbits bits each (window k = bits [k*wbits,
+    (k+1)*wbits) of v).  Per-term window values < 2^wbits, so a cumsum
+    over B terms stays < B * 2^wbits — choose wbits = 31 - ceil_log2(B)
+    and the cumsums NEVER wrap int32, which is what lets the per-pair
+    segment broadcasts (cummax/cummin in _level_single) rely on
+    monotonicity.  v < 2^53 (term < 2^36, _NLN_FP = 17), so
+    nwin = ceil(53 / wbits) windows cover every bit."""
+    import jax.numpy as jnp
+
+    mant, expo = jnp.frexp(term)                 # term = mant * 2^expo
+    m = (mant * np.float32(1 << 24)).astype(jnp.int32)   # [2^23, 2^24)
+    s = (expo - (24 - _NLN_FP)).astype(jnp.int32)        # v = m * 2^s
+    nz = term > 0
+    mask = jnp.int32((1 << wbits) - 1)
+
+    def window(k):
+        t = s - wbits * k                        # m bit0 position in win
+        tpos = jnp.clip(t, 0, 31)
+        tneg = jnp.clip(-t, 0, 31)
+        w = ((m >> tneg) & (mask >> tpos)) << tpos
+        return jnp.where(nz, w, 0)
+
+    return [window(k) for k in range(nwin)]      # list of term-shaped
+
+
+def _nln_value_w(winsums, wbits: int):
+    """float32 sums from per-window int32 segment sums."""
+    import jax.numpy as jnp
+
+    acc = jnp.zeros_like(winsums[0], dtype=jnp.float32)
+    for k, wsum in enumerate(winsums):
+        acc = acc + wsum.astype(jnp.float32) * np.float32(
+            2.0 ** (k * wbits - _NLN_FP))
+    return acc
+
+
+def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
+                  sc: _Scalars, prefix_codes, hist_cap, state):
+    """One single-device trie level at static bucket width B — the
+    round-5 redesign of `_level_at_bucket`'s axis_name=None branch,
+    keeping its exact semantics (differentially tested against
+    engine_np) while cutting the v5e plateau cost ~2x:
+
+      * expansion consumes the occ gather through `occ_cum8T`: no
+        minor-dim slice of the gathered rows (the old form's relayout
+        cost more than the gather), and the (8, 2B) c-major output
+        feeds the c-major child tables with row slices only;
+      * per-node statistics are SEGMENT BROADCASTS, not a sort: one
+        (NC, B) minor-axis cumsum + a forward cummax (value at node
+        start) + a reverse cummin (value at node end) put every node's
+        sums on every one of its pair lanes — replacing the 9-operand
+        stats sort AND the per-pair node-flag gather the emit stage
+        used to pay (a 1-D B-from-B gather, ~11 ms per plateau level).
+        Monotonicity holds because every scanned column is a cumsum of
+        nonnegative int32 that provably never wraps: freq sums are
+        bounded by the total indexed symbols (< 2^31 by the
+        MAX_TABLE_ROWS guard) and the entropy windows use
+        bucket-dependent widths (_nln_windows_w);
+      * the children sort keys on hv = (nid*4 + sym) * P2 + poff
+        (uint32) instead of the c-major lane index: the key itself
+        carries the (parent, symbol) stream the boundary logic needs,
+        dropping the `nid` payload operand (~5 ms), and orders children
+        NODE-major (the trie DFS order) — pairs of a child stay
+        contiguous because poff < P2 tie-breaks by pair order.
+
+    The sharded path (axis_name set) keeps `_level_at_bucket`: its
+    per-node rows must be node-indexed on every shard for the psum
+    merge, which is exactly what the sort/boundary-gather forms give.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    _, prow, _ = state["pr"].shape
+    ncap = state["hist"].shape[0] - hist_cap
+    nbrow = state["nb"].shape[1]
+    ocap = state["out"].shape[0]
+    depth = state["depth"]
+    P = state["npairs"]
+    par = state["parity"]
+    wpar = 1 - par
+    S_total = s_total
+
+    sym_mask = jnp.ones(4, dtype=bool)
+    if len(prefix_codes):
+        pcs = jnp.asarray(prefix_codes, jnp.int32)
+        enforced = pcs[jnp.minimum(depth, len(prefix_codes) - 1)]
+        onehot = jnp.arange(4, dtype=jnp.int32) == enforced
+        sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
+    sym_mask = sym_mask & (depth < sc.maxdepth)
+
+    iota_b = jnp.arange(B, dtype=jnp.int32)
+
+    # ---- expand: one fused transposed rank for both interval ends ----
+    prs = lax.dynamic_slice(state["pr"], (par, 0, 0), (1, B, 8))[0]
+    lo, hi, rlo = prs[:, PC_LO], prs[:, PC_HI], prs[:, PC_RLO]
+    sid, nid = prs[:, PC_SID], prs[:, PC_NID]
+    soff_p = prs[:, PC_SOFF]
+    validp = iota_b < P
+
+    pos2 = jnp.concatenate([lo, hi])
+    cum8 = occ_cum8T(dev_frows,
+                     (pos2 >> LOG2_BLOCK) + jnp.concatenate(
+                         [soff_p, soff_p]),
+                     pos2 & (BLOCK - 1), pos2)          # (8, 2B)
+    olo, ohi = cum8[:, :B], cum8[:, B:]
+    clo_m = olo[0:4]                                    # (4, B) c-major
+    chi_m = ohi[0:4]
+    crlo_m = rlo[None, :] + (ohi[4:8] - olo[4:8])
+    pa = validp & (hi > lo)
+    cfreq = chi_m - clo_m
+    cact = pa[None, :] & (cfreq >= sc.fmin)             # (4, B)
+    keepc = cact & sym_mask[:, None]
+
+    # ---- per-pair node statistics via segment broadcasts -------------
+    wbits = 31 - max(B - 1, 1).bit_length()
+    nwin = -(-53 // wbits)
+    freq = jnp.where(pa, hi - lo, 0)
+    f1 = (freq + 1).astype(jnp.float32)
+    nlnw = _nln_windows_w(jnp.where(pa, f1 * jnp.log2(f1), 0.0),
+                          wbits, nwin)
+    M = jnp.stack([freq] + nlnw
+                  + [cact[c].astype(jnp.int32) for c in range(4)]
+                  + [validp.astype(jnp.int32)], axis=0)  # (6+nwin, B)
+    NC = 6 + nwin
+    A = jnp.cumsum(M, axis=1)
+    nid_x = jnp.where(validp, nid, jnp.int32(B) + iota_b)
+    prev_nid = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                nid_x[:-1]])
+    next_nid = jnp.concatenate([nid_x[1:],
+                                jnp.full((1,), -2, jnp.int32)])
+    firstp = nid_x != prev_nid
+    lstp = nid_x != next_nid
+    A_shift = jnp.concatenate(
+        [jnp.zeros((NC, 1), jnp.int32), A[:, :-1]], axis=1)
+    A_pre = lax.cummax(jnp.where(firstp[None, :], A_shift, 0), axis=1)
+    A_end = lax.cummin(
+        jnp.where(lstp[None, :], A, jnp.int32(2**31 - 1)),
+        axis=1, reverse=True)
+    d = A_end - A_pre                                   # (NC, B) per-pair
+    sumf = d[0]
+    sumnln = _nln_value_w([d[1 + k] for k in range(nwin)], wbits)
+    cnt4 = d[1 + nwin:5 + nwin]                         # (4, B)
+    nact = d[5 + nwin]
+
+    exists4 = (cnt4 > 0) & sym_mask[:, None] & validp[None, :]
+    numchildren = exists4.sum(axis=0)
+    single_full = (numchildren == 1) & (
+        jnp.where(exists4, cnt4, 0).sum(axis=0) == nact)
+    sumN = (S_total + sumf).astype(jnp.float32)
+    ent32 = jnp.log(sumN) / np.float32(LOG2) - sumnln / sumN
+    present = validp & (nact > 0) & (depth >= 1)
+    egate = jnp.where(
+        sc.use_egate,
+        (ent32 >= sc.emin - ENT_MARGIN) & (ent32 <= sc.emax + ENT_MARGIN),
+        True)
+    nd_out = (present & (depth >= sc.mindepth)
+              & (nact >= sc.pmin)
+              & ((sc.pmax == 0) | (nact <= sc.pmax))
+              & egate & ~single_full)                   # per PAIR
+
+    stat_first = firstp & present & ~((nact == 1) & (sc.pmin > 1))
+    ent_min = jnp.minimum(state["ent_min"],
+                          jnp.where(stat_first, ent32, np.inf).min())
+    ent_max = jnp.maximum(state["ent_max"],
+                          jnp.where(stat_first, ent32, -np.inf).max())
+    total_paths = state["total_paths"] + (
+        present & firstp).sum(dtype=jnp.int32)
+
+    exn = (exists4 & firstp[None, :]).sum(axis=1, dtype=jnp.int32)
+    rgs = keepc.sum(axis=1, dtype=jnp.int32)
+    child_total = exn.sum()
+    pair_count = rgs.sum()
+
+    # ---- children: hv-keyed compaction sort --------------------------
+    wn = min(B, ncap)
+    wp = min(B, prow)
+    woff = jnp.minimum(state["hist_len"], jnp.int32(hist_cap))
+    iota_wp = jnp.arange(wp, dtype=jnp.int32)
+    P2 = _next_pow2(max(s_total, 2))
+    log2P2 = P2.bit_length() - 1
+    first_pos = lax.cummax(jnp.where(firstp, iota_b, 0))
+    poff = iota_b - first_pos                           # < S <= P2
+    # key values < 4*B*P2 <= 2^32 - P2 (callers pick this level variant
+    # only when 4*B*P2 < 2^32), so uint32 arithmetic is exact and the
+    # 0xFFFFFFFF drop sentinel cannot collide with a kept key
+    assert 4 * B * P2 < 1 << 32
+    hv_b = (nid.astype(jnp.uint32) * jnp.uint32(4 * P2)
+            + poff.astype(jnp.uint32))                  # + c*P2 per row
+    hv_lane = (hv_b[None, :]
+               + (jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(P2)
+                  )[:, None])
+    key_u = jnp.where(keepc, hv_lane,
+                      jnp.uint32(0xFFFFFFFF)).reshape(4 * B)
+    sidsoff = soff_p * jnp.int32(MAX_SAMPLES) + sid
+    skey, s_clo, s_chi, s_crlo, s_ss = lax.sort(
+        (key_u, clo_m.reshape(4 * B), chi_m.reshape(4 * B),
+         crlo_m.reshape(4 * B),
+         jnp.broadcast_to(sidsoff[None, :], (4, B)).reshape(4 * B)),
+        num_keys=1)
+    validk = iota_wp < pair_count
+    hv_kept = jnp.where(
+        validk, (skey[:wp] >> log2P2).astype(jnp.int32), -1)
+    prev_hv = jnp.concatenate([jnp.full((1,), -2, jnp.int32),
+                               hv_kept[:-1]])
+    bdry = validk & (hv_kept != prev_hv)
+    cid_pair = jnp.cumsum(bdry.astype(jnp.int32)) - 1
+    newpr = jnp.stack(
+        [s_clo[:wp], s_chi[:wp], s_crlo[:wp],
+         s_ss[:wp] % jnp.int32(MAX_SAMPLES), cid_pair,
+         s_ss[:wp] // jnp.int32(MAX_SAMPLES),
+         jnp.zeros(wp, jnp.int32), jnp.zeros(wp, jnp.int32)],
+        axis=1)                                         # (wp, 8)
+    pr = lax.dynamic_update_slice(state["pr"], newpr[None],
+                                  (wpar, 0, 0))
+    key_b = jnp.where(bdry, iota_wp, jnp.int32(wp))
+    sk2, s_hv = lax.sort((key_b, hv_kept), num_keys=1)
+    hist = lax.dynamic_update_slice(state["hist"], s_hv[:wn], (woff,))
+    nb_next = lax.dynamic_update_slice(
+        state["nb"],
+        jnp.minimum(sk2[:wn], pair_count)[None], (wpar, 0))
+    nb_next = lax.dynamic_update_slice(
+        nb_next, pair_count[None, None],
+        (wpar, jnp.minimum(child_total, jnp.int32(nbrow - 1))))
+
+    # ---- emit: per-pair chunk selection (no node->pair gather) -------
+    W = min(EMIT_W, B)
+    estart = state["eskip"]
+    cg = jnp.cumsum(nd_out.astype(jnp.int32))           # gated pairs
+    cg_end = lax.cummin(
+        jnp.where(lstp, cg, jnp.int32(2**31 - 1)), reverse=True)
+    tg = cg[B - 1]
+    take_pair = nd_out & (cg_end > estart) & (cg_end <= estart + W)
+    cut = jnp.max(jnp.where(take_pair, cg_end, estart))
+
+    def build_stage(_):
+        orows = jnp.concatenate(
+            [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
+             jnp.full((B, 1), depth, jnp.int32),
+             jnp.zeros((B, 3), jnp.int32)], axis=1)     # (B, 8)
+        kidx_o, wrote = compact_kidx_sort(take_pair, W)
+        return jnp.take(orows, kidx_o, axis=0), wrote
+
+    stage, wrote = lax.cond(
+        tg > estart,
+        build_stage,
+        lambda _: (jnp.zeros((W, 8), jnp.int32), jnp.int32(0)), 0)
+    out = lax.dynamic_update_slice(
+        state["out"], stage,
+        (jnp.minimum(state["ocount"], jnp.int32(ocap - W)), 0))
+    oc = state["ocount"] + wrote
+
+    # ---- flags + commit (same contract as _level_at_bucket) ----------
+    grow = (child_total > ncap) | (pair_count > prow)
+    refit = ~grow & ((pair_count > wp) | (child_total > wn))
+    drain = oc > sc.out_reserve
+    burst = cut < tg
+    histfull = (state["hist_len"] + child_total > hist_cap) \
+        | (state["nlev"] + 1 >= LVL_CAP)
+    burst = burst & ~(grow | histfull | refit)
+    commit = ~(grow | histfull | refit | burst)
+    boost = jnp.where(refit & ~histfull, state["boost"] + 1,
+                      jnp.where(commit, 0, state["boost"]))
+    flag = jnp.where(
+        grow, FLAG_GROW,
+        jnp.where(
+            histfull, FLAG_HISTFULL,
+            jnp.where(
+                refit, FLAG_RUN,
+                jnp.where(
+                    burst, FLAG_DRAIN,
+                    jnp.where(
+                        child_total == 0, FLAG_DONE,
+                        jnp.where((child_total <= sc.tail_width)
+                                  & (depth + 1 >= TAIL_MIN_DEPTH),
+                                  FLAG_TAIL,
+                                  jnp.where(drain, FLAG_DRAIN,
+                                            FLAG_RUN))))))).astype(jnp.int32)
+
+    def keep_if(new, old):
+        return jnp.where(commit, new, old)
+
+    return dict(
+        pr=pr, nb=nb_next,
+        parity=keep_if(wpar, par),
+        npairs=keep_if(pair_count, P),
+        nnodes=keep_if(child_total, state["nnodes"]),
+        depth=keep_if(depth + 1, depth),
+        hist=hist,
+        hist_len=keep_if(state["hist_len"] + child_total,
+                         state["hist_len"]),
+        lvl_off=jnp.asarray(state["lvl_off"]).at[state["nlev"]].set(
+            state["hist_len"]),
+        nlev=keep_if(state["nlev"] + 1, state["nlev"]),
+        out=out,
+        ocount=jnp.where(commit | burst, oc, state["ocount"]),
+        eskip=jnp.where(commit, 0, jnp.where(burst, cut, estart)),
+        boost=boost,
+        total_paths=keep_if(total_paths, state["total_paths"]),
+        ent_min=keep_if(ent_min, state["ent_min"]),
+        ent_max=keep_if(ent_max, state["ent_max"]),
+        flag=flag,
+    )
+
+
 def _ceil_log2(x):
     """Traced ceil(log2(max(x, 1))) for int32 x <= 2^24 (exact in f32)."""
     import jax.numpy as jnp
@@ -744,9 +1050,16 @@ def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
             need = jnp.maximum(st["npairs"], st["nnodes"] + 1)
             k = jnp.clip(jnp.sum(lad < need) + st["boost"], 0,
                          len(ladder) - 1)
+            # the hv-keyed single-device level needs its uint32 key to
+            # hold 4*B*P2 values; extreme (bucket x sample-count)
+            # combinations fall back to the lane-keyed form
+            P2 = _next_pow2(max(S, 2))
             branches = [
-                functools.partial(_level_at_bucket, b, frows, rrows, S,
-                                  sc, prefix_codes, hist_cap)
+                (functools.partial(_level_single, b, frows, rrows, S,
+                                   sc, prefix_codes, hist_cap)
+                 if 4 * b * P2 < 1 << 32 else
+                 functools.partial(_level_at_bucket, b, frows, rrows, S,
+                                   sc, prefix_codes, hist_cap))
                 for b in ladder
             ]
             return lax.switch(k, branches, st)

@@ -142,6 +142,19 @@ def fused_rows(table: OccTable, c4=None) -> np.ndarray:
     return rows
 
 
+def _sel15() -> np.ndarray:
+    """(96, 15) selection matrix for occ_cum: output cols 0-4 sum the
+    low-16 halves of cum_1..5, 5-9 the high halves, 10-14 the masked
+    plane popcounts."""
+    lo = np.zeros((32, 5), np.float32)
+    pcs = np.zeros((32, 5), np.float32)
+    for j in range(1, 6):
+        lo[j, j - 1] = 1.0
+        pcs[8 + 4 * (j - 1): 8 + 4 * j, j - 1] = 1.0
+    z = np.zeros_like(lo)
+    return np.block([[lo, z, z], [z, lo, z], [z, z, pcs]])
+
+
 def occ_cum(rows, blk, rem):
     """Batched cumulative <=-counts from fused rows (jit-safe).
 
@@ -149,34 +162,119 @@ def occ_cum(rows, blk, rem):
     callers add per-BWT row offsets into `blk`); blk (...,) int32 row
     index; rem (...,) int32 in [0, BLOCK).  Returns (..., 5) int32 =
     cum(j, pos) for j = 1..5 where pos = blk*BLOCK + rem.
+
+    The gathered (Q, 32) row is consumed WITHOUT minor-dim slices: one
+    masked popcount over all 32 columns + one f32 MXU dot whose 16-bit
+    split keeps every partial sum exact at HIGHEST precision (baked-C4
+    cums wrap uint32; low/high halves are < 2^16 one-hot sums).  The
+    sliced/bitcast form measured 37.5 ms per 3M queries on v5e against
+    19.3 ms for this one (tools/micro_occ3.py) — the minor-dim slice
+    of a gathered row relayouts across lanes and costs more than the
+    gather itself.
     """
     import jax.numpy as jnp
     from jax import lax
 
-    g = jnp.take(rows, blk, axis=0)                      # (..., ROWW)
-    # bitcast, not convert: baked-C4 tables (fused_rows c4=) store
-    # negative K offsets as wrapped uint32
-    base = lax.bitcast_convert_type(g[..., 1:6], jnp.int32)
-    # Stay FLAT: any (..., 5, 4)/(..., 1, 4) intermediate costs ~17 ms
-    # per 3M queries on v5e (tools/micro_occ.py) while the (..., 20)
-    # forms ride on top of the gather for free; the per-plane word sums
-    # are one tiny MXU dot (popcounts <= 32 are exact in f32).
-    planes20 = g[..., 8:28]                              # (..., 20)
+    shape = blk.shape
+    blkf = blk.reshape(-1)
+    remf = rem.reshape(-1)
+    g = jnp.take(rows, blkf, axis=0)                     # (Q, ROWW)
+    w = remf >> 5
+    bit = (remf & 31).astype(jnp.uint32)
+    colw = jnp.asarray(_COLW)
+    full = jnp.where((colw[None, :] < w[:, None]) & (colw[None, :] >= 0),
+                     jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    part = jnp.where(colw[None, :] == w[:, None],
+                     (jnp.uint32(1) << bit[:, None]) - jnp.uint32(1),
+                     jnp.uint32(0))
+    pc = lax.population_count(g & (full | part))         # (Q, 32)
+    cat = jnp.concatenate(
+        [(g & jnp.uint32(0xFFFF)).astype(jnp.float32),
+         (g >> 16).astype(jnp.float32),
+         pc.astype(jnp.float32)], axis=1)                # (Q, 96)
+    o = jnp.dot(cat, jnp.asarray(_sel15()),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)      # (Q, 15)
+    v = (o[:, 0:5].astype(jnp.int32)
+         + (o[:, 5:10].astype(jnp.int32) << 16)
+         + o[:, 10:15].astype(jnp.int32))
+    return v.reshape(shape + (5,))
+
+
+def _sel24() -> np.ndarray:
+    """(24, 96) selection matrix for occ_cum8T: rows 0-7 read the
+    low-16 halves of the gathered row's cum columns, rows 8-15 the
+    high-16 halves, rows 16-23 the masked plane popcounts; each group
+    emits [c2-c1, c3-c2, c4-c3, -c5, c1, c2, c3, c5]."""
+    s8 = np.zeros((8, 32), np.float32)
+    cum = {j: 1 + (j - 1) for j in range(1, 6)}   # cum_j at column j
+    for r, (a, b) in enumerate([(2, 1), (3, 2), (4, 3)]):
+        s8[r, cum[a]] += 1.0
+        s8[r, cum[b]] -= 1.0
+    s8[3, cum[5]] -= 1.0
+    for r, j in enumerate((1, 2, 3, 5)):
+        s8[4 + r, cum[j]] += 1.0
+    # plane popcount contribution of cum_j lives in plane columns
+    # 8+4(j-1) .. 8+4j-1
+    p8 = np.zeros((8, 32), np.float32)
+    pl = {j: slice(8 + 4 * (j - 1), 8 + 4 * j) for j in range(1, 6)}
+    for r, (a, b) in enumerate([(2, 1), (3, 2), (4, 3)]):
+        p8[r, pl[a]] += 1.0
+        p8[r, pl[b]] -= 1.0
+    p8[3, pl[5]] -= 1.0
+    for r, j in enumerate((1, 2, 3, 5)):
+        p8[4 + r, pl[j]] += 1.0
+    z = np.zeros_like(s8)
+    return np.block([[s8, z, z], [z, s8, z], [z, z, p8]])  # (24, 96)
+
+
+_COLW = np.full(32, -1, np.int32)
+for _c in range(8, 28):
+    _COLW[_c] = (_c - 8) % 4
+
+
+def occ_cum8T(rows, blk, rem, pos):
+    """Transposed fused rank: (8, Q) int32 with rows
+    [C4A+occA, C4C+occC, C4G+occG, pos-c5(+C4T), c1, c2, c3, c5]
+    for baked-C4 tables (fused_rows c4=) — rows 0:4 ARE the per-symbol
+    child bounds, rows 4:8 the lexicographic prefix sums.
+
+    Design (v5e, round 5): the gathered (Q, 32) row is consumed with NO
+    minor-dim slice — a single masked popcount over all 32 columns and
+    one dot_general against a constant (24, 96) matrix (16-bit-split
+    for f32 exactness at HIGHEST precision; every partial sum is a
+    one-hot or a two-term difference < 2^17).  The minor-dim slices of
+    the old occ_cum form forced a lane relayout costing more than the
+    gather itself (tools/micro_occ3.py: 37.5 -> 19.3 ms per 3M queries);
+    the c-major (8, Q) output feeds the episode engine's c-major child
+    tables with row slices only."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    g = jnp.take(rows, blk, axis=0)                    # (Q, 32) u32
     w = rem >> 5
     bit = (rem & 31).astype(jnp.uint32)
-    widx20 = jnp.tile(jnp.arange(4, dtype=jnp.int32), _NPLANES)
-    full = jnp.where(widx20 < w[..., None],
+    colw = jnp.asarray(_COLW)
+    full = jnp.where((colw[None, :] < w[:, None]) & (colw[None, :] >= 0),
                      jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-    part = jnp.where(widx20 == w[..., None],
-                     (jnp.uint32(1) << bit[..., None]) - jnp.uint32(1),
+    part = jnp.where(colw[None, :] == w[:, None],
+                     (jnp.uint32(1) << bit[:, None]) - jnp.uint32(1),
                      jnp.uint32(0))
-    pc = lax.population_count(planes20 & (full | part))  # (..., 20)
-    sel = np.zeros((4 * _NPLANES, _NPLANES), np.float32)
-    for j in range(_NPLANES):
-        sel[4 * j:4 * j + 4, j] = 1.0
-    cnt = jnp.dot(pc.astype(jnp.float32), jnp.asarray(sel),
-                  preferred_element_type=jnp.float32)
-    return base + cnt.astype(jnp.int32)
+    pc = lax.population_count(g & (full | part))       # (Q, 32)
+    cat = jnp.concatenate(
+        [(g & jnp.uint32(0xFFFF)).astype(jnp.float32),
+         (g >> 16).astype(jnp.float32),
+         pc.astype(jnp.float32)], axis=1)              # (Q, 96)
+    sel = jnp.asarray(_sel24())
+    o = lax.dot_general(sel, cat, (((1,), (1,)), ((), ())),
+                        precision=lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)   # (24, Q)
+    v = (o[0:8].astype(jnp.int32)
+         + (o[8:16].astype(jnp.int32) << 16)
+         + o[16:24].astype(jnp.int32))                 # (8, Q)
+    # row 3 carries -c5; adding pos makes it the T-child bound
+    return v + jnp.where(jnp.arange(8, dtype=jnp.int32)[:, None] == 3,
+                         pos[None, :], 0)
 
 
 def occ_cum_np(table: OccTable, pos: np.ndarray) -> np.ndarray:
