@@ -118,7 +118,7 @@ def bench_backward_search_steps(idxs) -> float:
     from jax import lax
 
     from dsm_tpu.mining.engine import DeviceIndexes
-    from dsm_tpu.ops.rank import BLOCK, LOG2_BLOCK, occ_cum
+    from dsm_tpu.ops.rank import BLOCK, LOG2_BLOCK, occ_cumT
 
     dev = DeviceIndexes.build(idxs)
     Q = 1 << 22
@@ -135,15 +135,15 @@ def bench_backward_search_steps(idxs) -> float:
         lo, hi, acc = carry
         pos = jnp.concatenate([lo, hi])
         so2 = jnp.concatenate([soff, soff])
-        cum = occ_cum(dev.frows, (pos >> LOG2_BLOCK) + so2,
-                      pos & (BLOCK - 1))
+        cum = occ_cumT(dev.frowsT, (pos >> LOG2_BLOCK) + so2,
+                       pos & (BLOCK - 1))
         # fold the A-extension back into the query stream (data
         # dependence defeats loop-invariant hoisting)
-        nlo = jnp.minimum(cum[:Q, 1], nq)
-        nhi = jnp.minimum(cum[Q:, 1], nq)
+        nlo = jnp.minimum(cum[1, :Q], nq)
+        nhi = jnp.minimum(cum[1, Q:], nq)
         ok = nhi > nlo
         return (jnp.where(ok, nlo, lo), jnp.where(ok, nhi, hi),
-                acc + cum[:Q, 0].sum())
+                acc + cum[0, :Q].sum())
 
     fn = jax.jit(lambda lo, hi: lax.fori_loop(
         0, ITERS, body, (lo, hi, jnp.int32(0))))

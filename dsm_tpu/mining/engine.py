@@ -68,9 +68,17 @@ MAX_TABLE_ROWS = 2**31 // MAX_SAMPLES
 class DeviceIndexes:
     """S per-sample bidirectional occ tables stacked onto one device.
 
-    frows/rrows: (sum_s nb_s+1, ROWW) uint32 fused rows, forward/reverse,
-    with the per-sample C4 base constants BAKED into the cum columns
-    (fused_rows c4=) so expansion needs no runtime C4 gather/add;
+    Two device layouts of the same fused rows (fused_rows c4=: the
+    per-sample C4 base constants are BAKED into the cum columns, so
+    expansion needs no runtime C4 gather/add), materialized LAZILY so a
+    run pays HBM only for the layout its engine touches:
+
+      frows/rrows  (sum_s nb_s+1, ROWW) uint32 row-major — the
+                   per-level legacy engine and oracle paths;
+      frowsT/rrowsT  (ROWW, sum_s nb_s+1) transposed — the episode
+                   engines' hot layout (ops/rank.occ_cumT: the column
+                   gather makes every consumer a major-dim op).
+
     soff: (S,) int32 per-sample row offsets (same for both directions);
     C4/C4hi: (S, 4) int32 C[c] / C[c+1] for c in A,C,G,T (drain-side
     bookkeeping only — never added during expansion).
@@ -78,11 +86,35 @@ class DeviceIndexes:
 
     S: int
     ns: np.ndarray        # (S,) int64 text lengths
-    frows: object
-    rrows: object
+    fnp: np.ndarray       # host (R, ROWW) uint32
+    rnp: np.ndarray
     soff: object
     C4: object
     C4hi: object
+
+    def _layout(self, key: str, make):
+        import jax.numpy as jnp
+
+        cache = self.__dict__.setdefault("_cache", {})
+        if key not in cache:
+            cache[key] = jnp.asarray(make())
+        return cache[key]
+
+    @property
+    def frows(self):
+        return self._layout("f", lambda: self.fnp)
+
+    @property
+    def rrows(self):
+        return self._layout("r", lambda: self.rnp)
+
+    @property
+    def frowsT(self):
+        return self._layout("fT", lambda: np.ascontiguousarray(self.fnp.T))
+
+    @property
+    def rrowsT(self):
+        return self._layout("rT", lambda: np.ascontiguousarray(self.rnp.T))
 
     @classmethod
     def build(cls, indexes: list[FMIndex], pad_to: int | None = None
@@ -130,8 +162,8 @@ class DeviceIndexes:
                 "over more devices (parallel/engine_episode.py) or "
                 "mine per-prefix partitions (parallel/mesh.py)")
         return cls(S=S, ns=ns,
-                   frows=jnp.asarray(np.concatenate(fparts)),
-                   rrows=jnp.asarray(np.concatenate(rparts)),
+                   fnp=np.concatenate(fparts),
+                   rnp=np.concatenate(rparts),
                    soff=jnp.asarray(np.asarray(offs, dtype=np.int32)),
                    C4=jnp.asarray(C4), C4hi=jnp.asarray(C4hi))
 
@@ -165,6 +197,30 @@ def leftchar_codes_pairs(rrows, soff_pair, rlo, freq):
     return jnp.where(
         is_full.any(axis=-1), jnp.argmax(is_full, axis=-1) + 2,
         jnp.where((rcnt > 0).any(axis=-1), LC_N, LC_ZERO),
+    ).astype(jnp.int8)
+
+
+def leftchar_codes_pairsT(rrowsT, soff_pair, rlo, freq):
+    """leftchar_codes_pairs on the transposed table layout
+    (DeviceIndexes.rrowsT / ops/rank.occ_cumT) — the episode drain's
+    form.  Returns (K,) int8 codes."""
+    import jax.numpy as jnp
+
+    from ..ops.rank import occ_cumT
+
+    rhi = rlo + freq
+    clo5 = occ_cumT(rrowsT, (rlo >> LOG2_BLOCK) + soff_pair,
+                    rlo & (BLOCK - 1))                        # (5, K)
+    chi5 = occ_cumT(rrowsT, (rhi >> LOG2_BLOCK) + soff_pair,
+                    rhi & (BLOCK - 1))
+    d5 = chi5 - clo5
+    rcnt = jnp.concatenate(
+        [(d5[1] - d5[0])[None], (d5[2] - d5[1])[None],
+         (d5[3] - d5[2])[None], (freq - d5[4])[None]], axis=0)  # (4, K)
+    is_full = (rcnt == freq[None, :]) & (freq[None, :] > 0)
+    return jnp.where(
+        is_full.any(axis=0), jnp.argmax(is_full, axis=0) + 2,
+        jnp.where((rcnt > 0).any(axis=0), LC_N, LC_ZERO),
     ).astype(jnp.int8)
 
 

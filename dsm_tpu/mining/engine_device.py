@@ -96,7 +96,7 @@ from ..ops.compact import compact_kidx_sort
 from ..ops.rank import BLOCK, LOG2_BLOCK, occ_cum, occ_cum8T
 from .config import MiningConfig
 from .engine import (MAX_SAMPLES, DeviceIndexes, _occ_psum4,
-                     leftchar_codes_pairs)
+                     leftchar_codes_pairsT)
 from .engine_np import LOG2, MinedOutput, node_entropy
 
 LB_MIN = 13           # smallest level bucket: 2^13 = 8192
@@ -876,18 +876,26 @@ def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
     woff = jnp.minimum(state["hist_len"], jnp.int32(hist_cap))
     iota_wp = jnp.arange(wp, dtype=jnp.int32)
     P2 = _next_pow2(max(s_total, 2))
-    log2P2 = P2.bit_length() - 1
-    first_pos = lax.cummax(jnp.where(firstp, iota_b, 0))
-    poff = iota_b - first_pos                           # < S <= P2
-    # key values < 4*B*P2 <= 2^32 - P2 (callers pick this level variant
-    # only when 4*B*P2 < 2^32), so uint32 arithmetic is exact and the
-    # 0xFFFFFFFF drop sentinel cannot collide with a kept key
-    assert 4 * B * P2 < 1 << 32
-    hv_b = (nid.astype(jnp.uint32) * jnp.uint32(4 * P2)
-            + poff.astype(jnp.uint32))                  # + c*P2 per row
+    if 4 * B * P2 < 1 << 32:
+        # unique key (nid*4 + c)*P2 + poff: key values < 4*B*P2 <=
+        # 2^32 - P2, so uint32 arithmetic is exact and the 0xFFFFFFFF
+        # drop sentinel cannot collide with a kept key
+        log2P2 = P2.bit_length() - 1
+        first_pos = lax.cummax(jnp.where(firstp, iota_b, 0))
+        poff = iota_b - first_pos                       # < S <= P2
+        hv_b = (nid.astype(jnp.uint32) * jnp.uint32(4 * P2)
+                + poff.astype(jnp.uint32))              # + c*P2 per row
+        stable = False
+    else:
+        # extreme (bucket x sample-count): key on hv alone (< 4B, no
+        # overflow possible) and rely on sort stability — equal-hv
+        # lanes sit in c-major order, which IS ascending pair order
+        log2P2 = 0
+        hv_b = nid.astype(jnp.uint32) * jnp.uint32(4)
+        stable = True
     hv_lane = (hv_b[None, :]
-               + (jnp.arange(4, dtype=jnp.uint32) * jnp.uint32(P2)
-                  )[:, None])
+               + (jnp.arange(4, dtype=jnp.uint32)
+                  * jnp.uint32(max(P2, 1) if not stable else 1))[:, None])
     key_u = jnp.where(keepc, hv_lane,
                       jnp.uint32(0xFFFFFFFF)).reshape(4 * B)
     sidsoff = soff_p * jnp.int32(MAX_SAMPLES) + sid
@@ -895,7 +903,7 @@ def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
         (key_u, clo_m.reshape(4 * B), chi_m.reshape(4 * B),
          crlo_m.reshape(4 * B),
          jnp.broadcast_to(sidsoff[None, :], (4, B)).reshape(4 * B)),
-        num_keys=1)
+        num_keys=1, is_stable=stable)
     validk = iota_wp < pair_count
     hv_kept = jnp.where(
         validk, (skey[:wp] >> log2P2).astype(jnp.int32), -1)
@@ -1050,16 +1058,9 @@ def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
             need = jnp.maximum(st["npairs"], st["nnodes"] + 1)
             k = jnp.clip(jnp.sum(lad < need) + st["boost"], 0,
                          len(ladder) - 1)
-            # the hv-keyed single-device level needs its uint32 key to
-            # hold 4*B*P2 values; extreme (bucket x sample-count)
-            # combinations fall back to the lane-keyed form
-            P2 = _next_pow2(max(S, 2))
             branches = [
-                (functools.partial(_level_single, b, frows, rrows, S,
-                                   sc, prefix_codes, hist_cap)
-                 if 4 * b * P2 < 1 << 32 else
-                 functools.partial(_level_at_bucket, b, frows, rrows, S,
-                                   sc, prefix_codes, hist_cap))
+                functools.partial(_level_single, b, frows, rrows, S,
+                                  sc, prefix_codes, hist_cap)
                 for b in ladder
             ]
             return lax.switch(k, branches, st)
@@ -1160,8 +1161,8 @@ def _pull_segment(ph: PathHistory, seg_depth0: int, state) -> None:
 def _jitted_lc_pairs():
     import jax
 
-    def run(rrows, soff, sid, rlo, freq):
-        return leftchar_codes_pairs(rrows, soff[sid], rlo, freq)
+    def run(rrowsT, soff, sid, rlo, freq):
+        return leftchar_codes_pairsT(rrowsT, soff[sid], rlo, freq)
 
     return jax.jit(run)
 
@@ -1183,7 +1184,7 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
     if n == 0:
         return
     npad = min(_next_pow2(n), state["out"].shape[0])
-    lc_dev = _jitted_lc_pairs()(dev.rrows, dev.soff,
+    lc_dev = _jitted_lc_pairs()(dev.rrowsT, dev.soff,
                                 state["out"][:npad, OC_SID],
                                 state["out"][:npad, OC_RLO],
                                 state["out"][:npad, OC_FREQ])
@@ -1434,7 +1435,7 @@ def mine_device(
 
     while True:
         fn = _jitted_episode(cap, hist_cap, dev.S, prefix_codes)
-        state = fn(dev.frows, dev.rrows, state, *sc.flat())
+        state = fn(dev.frowsT, dev.rrowsT, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
             print(f"mine_device: flag={flag} cap={cap} "

@@ -201,31 +201,36 @@ def occ_cum(rows, blk, rem):
     return v.reshape(shape + (5,))
 
 
-def _sel24() -> np.ndarray:
-    """(24, 96) selection matrix for occ_cum8T: rows 0-7 read the
-    low-16 halves of the gathered row's cum columns, rows 8-15 the
-    high-16 halves, rows 16-23 the masked plane popcounts; each group
-    emits [c2-c1, c3-c2, c4-c3, -c5, c1, c2, c3, c5]."""
-    s8 = np.zeros((8, 32), np.float32)
-    cum = {j: 1 + (j - 1) for j in range(1, 6)}   # cum_j at column j
-    for r, (a, b) in enumerate([(2, 1), (3, 2), (4, 3)]):
-        s8[r, cum[a]] += 1.0
-        s8[r, cum[b]] -= 1.0
-    s8[3, cum[5]] -= 1.0
-    for r, j in enumerate((1, 2, 3, 5)):
-        s8[4 + r, cum[j]] += 1.0
-    # plane popcount contribution of cum_j lives in plane columns
-    # 8+4(j-1) .. 8+4j-1
-    p8 = np.zeros((8, 32), np.float32)
-    pl = {j: slice(8 + 4 * (j - 1), 8 + 4 * j) for j in range(1, 6)}
-    for r, (a, b) in enumerate([(2, 1), (3, 2), (4, 3)]):
-        p8[r, pl[a]] += 1.0
-        p8[r, pl[b]] -= 1.0
-    p8[3, pl[5]] -= 1.0
-    for r, j in enumerate((1, 2, 3, 5)):
-        p8[4 + r, pl[j]] += 1.0
-    z = np.zeros_like(s8)
-    return np.block([[s8, z, z], [z, s8, z], [z, z, p8]])  # (24, 96)
+def occ_cumT(rowsT, blk, rem):
+    """Batched cumulative <=-counts from a TRANSPOSED fused table.
+
+    rowsT: (ROWW, R) uint32 — `fused_rows(...).T`, the mining episode's
+    hot layout; blk/rem: (Q,) int32.  Returns (5, Q) int32 cum(1..5).
+
+    The column gather `take(rowsT, blk, axis=1)` lands the row's words
+    on the MAJOR axis, so base extraction (rows 1:6), the plane masks
+    and the per-plane popcount sums are all major-dim ops that fuse
+    into the gather for free: measured 14.6 ms per 3M queries on v5e —
+    the raw gather's own cost — vs 37.5 ms for the row-major form with
+    its minor-dim slices and 19.3 ms for an MXU-dot assembly
+    (tools/micro_occ3.py, round-5 trace)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    g = jnp.take(rowsT, blk, axis=1)                     # (32, Q)
+    w = rem >> 5
+    bit = (rem & 31).astype(jnp.uint32)
+    colw20 = jnp.tile(jnp.arange(4, dtype=jnp.int32), _NPLANES)
+    full = jnp.where(colw20[:, None] < w[None, :],
+                     jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    part = jnp.where(colw20[:, None] == w[None, :],
+                     (jnp.uint32(1) << bit[None, :]) - jnp.uint32(1),
+                     jnp.uint32(0))
+    pc = lax.population_count(g[8:28] & (full | part))   # (20, Q)
+    cnt5 = pc.reshape(_NPLANES, 4, -1).sum(
+        axis=1, dtype=jnp.uint32)                        # (5, Q)
+    base5 = lax.bitcast_convert_type(g[1:6], jnp.int32)
+    return base5 + lax.bitcast_convert_type(cnt5, jnp.int32)
 
 
 _COLW = np.full(32, -1, np.int32)
@@ -233,48 +238,21 @@ for _c in range(8, 28):
     _COLW[_c] = (_c - 8) % 4
 
 
-def occ_cum8T(rows, blk, rem, pos):
+def occ_cum8T(rowsT, blk, rem, pos):
     """Transposed fused rank: (8, Q) int32 with rows
     [C4A+occA, C4C+occC, C4G+occG, pos-c5(+C4T), c1, c2, c3, c5]
     for baked-C4 tables (fused_rows c4=) — rows 0:4 ARE the per-symbol
-    child bounds, rows 4:8 the lexicographic prefix sums.
-
-    Design (v5e, round 5): the gathered (Q, 32) row is consumed with NO
-    minor-dim slice — a single masked popcount over all 32 columns and
-    one dot_general against a constant (24, 96) matrix (16-bit-split
-    for f32 exactness at HIGHEST precision; every partial sum is a
-    one-hot or a two-term difference < 2^17).  The minor-dim slices of
-    the old occ_cum form forced a lane relayout costing more than the
-    gather itself (tools/micro_occ3.py: 37.5 -> 19.3 ms per 3M queries);
-    the c-major (8, Q) output feeds the episode engine's c-major child
-    tables with row slices only."""
+    child bounds, rows 4:8 the lexicographic prefix sums.  Built on
+    occ_cumT (transposed-table column gather; see its header for the
+    measured rationale); the occ/psum assembly is major-axis
+    concatenation, free of relayouts."""
     import jax.numpy as jnp
-    from jax import lax
 
-    g = jnp.take(rows, blk, axis=0)                    # (Q, 32) u32
-    w = rem >> 5
-    bit = (rem & 31).astype(jnp.uint32)
-    colw = jnp.asarray(_COLW)
-    full = jnp.where((colw[None, :] < w[:, None]) & (colw[None, :] >= 0),
-                     jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-    part = jnp.where(colw[None, :] == w[:, None],
-                     (jnp.uint32(1) << bit[:, None]) - jnp.uint32(1),
-                     jnp.uint32(0))
-    pc = lax.population_count(g & (full | part))       # (Q, 32)
-    cat = jnp.concatenate(
-        [(g & jnp.uint32(0xFFFF)).astype(jnp.float32),
-         (g >> 16).astype(jnp.float32),
-         pc.astype(jnp.float32)], axis=1)              # (Q, 96)
-    sel = jnp.asarray(_sel24())
-    o = lax.dot_general(sel, cat, (((1,), (1,)), ((), ())),
-                        precision=lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)   # (24, Q)
-    v = (o[0:8].astype(jnp.int32)
-         + (o[8:16].astype(jnp.int32) << 16)
-         + o[16:24].astype(jnp.int32))                 # (8, Q)
-    # row 3 carries -c5; adding pos makes it the T-child bound
-    return v + jnp.where(jnp.arange(8, dtype=jnp.int32)[:, None] == 3,
-                         pos[None, :], 0)
+    c = occ_cumT(rowsT, blk, rem)                      # (5, Q)
+    return jnp.concatenate([
+        (c[1] - c[0])[None], (c[2] - c[1])[None], (c[3] - c[2])[None],
+        (pos - c[4])[None],
+        c[0][None], c[1][None], c[2][None], c[4][None]], axis=0)
 
 
 def occ_cum_np(table: OccTable, pos: np.ndarray) -> np.ndarray:

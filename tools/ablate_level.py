@@ -54,8 +54,8 @@ def main() -> None:
 
     @functools.cache
     def one_level(b):
-        fn = functools.partial(ed._level_at_bucket, b, dev.frows,
-                               dev.rrows, dev.S, sc, (), hist_cap)
+        fn = functools.partial(ed._level_single, b, dev.frowsT,
+                               dev.rrowsT, dev.S, sc, (), hist_cap)
         return jax.jit(fn)
 
     for lvl in range(target):
@@ -93,8 +93,8 @@ def main() -> None:
     def fresh_full():
         # a NEW function object per bench: jax caches traces on function
         # identity, so reusing one partial would reuse the unpatched trace
-        return lambda st: ed._level_at_bucket(B, dev.frows, dev.rrows,
-                                              dev.S, sc, (), hist_cap, st)
+        return lambda st: ed._level_single(B, dev.frowsT, dev.rrowsT,
+                                           dev.S, sc, (), hist_cap, st)
 
     bench("FULL level", fresh_full())
 
