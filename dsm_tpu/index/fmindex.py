@@ -408,13 +408,13 @@ class FMIndex:
         .fmi v14-v17 (dispatch by magic, as TextCollection::load
         dispatches by extension, TextCollection.cpp:27-62)."""
         if path.endswith(".rlcsa.array") or path.endswith(".rlcsa.parameters"):
-            # TextCollection::load also dispatches RLCSA artifacts
-            # (TextCollection.cpp:27-62); we index with a different
-            # layout and do not read Psi-vector files
-            raise ValueError(
-                f"{path}: RLCSA artifacts (.rlcsa.array) are not "
-                "supported; rebuild the index from FASTA with "
-                "`dsm build` or load a .fmi / .dsmi artifact instead")
+            # TextCollection::load dispatches RLCSA artifacts too
+            # (TextCollection.cpp:27-62): decode the Psi position
+            # vectors back to the BWT (RLCSA::readBWT semantics,
+            # rlcsa.cpp:808-844) and index it with our layout
+            from .rlcsa import load_rlcsa
+
+            return load_rlcsa(path)
         with open(path, "rb") as f:
             magic = f.read(2)
         if magic[:2] != b"PK":  # not a zip -> reference binary format

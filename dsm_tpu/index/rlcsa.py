@@ -7,9 +7,14 @@ build defines MASSIVE_DATA_RLCSA, Makefile:9):
 
   1. alphabet: 256 x u64 character counts (Alphabet::writeTo,
      alphabet.cpp:63-70);
-  2. for every character c with count > 0, ascending: one RLEVector —
+  2. for every character c with count > 0, ascending: one PsiVector —
      the run-length-encoded increasing position set of c in the BWT
-     (rlcsa.h:40-50, rlcsa.cpp:243-249);
+     (rlcsa.h:40-50, rlcsa.cpp:243-249).  PsiVector is NibbleVector in
+     the DSM build (incbwt/Makefile:14 PSI_FLAGS=-DUSE_NIBBLE_VECTORS,
+     pulled in by the root `make -C incbwt library`) and RLEVector when
+     that flag is off; both use the same (gap, run-length) block
+     structure with different integer codes, so the reader tries the
+     nibble codec first and falls back to Elias delta;
   3. end_points: one DeltaVector of sequence end positions;
   4. sample_rate: u64.
 
@@ -67,6 +72,19 @@ class _Bits:
         temp = ((1 << ln) | self.read_bits(ln)) - 1
         return (1 << temp) | self.read_bits(temp)
 
+    def read_nibble_code(self) -> int:
+        """Nibble code (bitbuffer.h:118-130): 4-bit chunks MSB-first in
+        the stream, each contributing 3 value bits LSB-first, terminated
+        by a chunk with bit 3 set; the coded value is offset by 1."""
+        value = 0
+        shift = 0
+        while True:
+            nib = self.read_bits(4)
+            value |= (nib & 0x7) << shift
+            shift += 3
+            if nib & 0x8:
+                return value + 1
+
 
 def _read_packed_items(words: np.ndarray, count: int,
                        item_bits: int) -> np.ndarray:
@@ -109,8 +127,8 @@ def _read_vector_header(f: _File):
 
 
 def _rle_positions(size, items, nblocks, block_size, array,
-                   samples) -> np.ndarray:
-    """All 1-positions of one RLEVector, ascending."""
+                   samples, codec: str = "nibble") -> np.ndarray:
+    """All 1-positions of one PsiVector, ascending."""
     out = np.empty(items, dtype=np.int64)
     k = 0
     for b in range(nblocks):
@@ -123,29 +141,58 @@ def _rle_positions(size, items, nblocks, block_size, array,
         k += 1
         got = 1
         bits = _Bits(array[b * block_size:(b + 1) * block_size])
+        read = (bits.read_nibble_code if codec == "nibble"
+                else bits.read_delta)
         while got < count:
-            gap = bits.read_delta()
-            run = bits.read_delta()
+            gap = read()
+            run = read()
             run = min(run, count - got)
             start = val + gap
+            if start <= val or start + run > size:
+                raise ValueError("PsiVector run out of range")
             out[k:k + run] = np.arange(start, start + run)
             val = start + run - 1
             k += run
             got += run
     if k != items:
         raise ValueError(
-            f"RLEVector decode mismatch: {k} items, header says {items}")
+            f"PsiVector decode mismatch: {k} items, header says {items}")
     return out
 
 
-def read_bwt(path: str) -> tuple[np.ndarray, int]:
+def _delta_positions(size, items, nblocks, block_size, array,
+                     samples) -> np.ndarray:
+    """All 1-positions of one DeltaVector (one delta code per item —
+    DeltaVector::Iterator::nextValue, deltavector.cpp:143-154)."""
+    out = np.empty(items, dtype=np.int64)
+    k = 0
+    for b in range(nblocks):
+        idx0 = int(samples[2 * b])
+        val = int(samples[2 * b + 1])
+        count = int(samples[2 * b + 2]) - idx0
+        if count <= 0:
+            continue
+        out[k] = val
+        k += 1
+        bits = _Bits(array[b * block_size:(b + 1) * block_size])
+        for _ in range(count - 1):
+            val += bits.read_delta()
+            out[k] = val
+            k += 1
+    if k != items:
+        raise ValueError(
+            f"DeltaVector decode mismatch: {k} items, header says {items}")
+    return out
+
+
+def read_bwt(path: str) -> tuple[np.ndarray, int, np.ndarray]:
     """Decode `<base>.rlcsa.array` -> (BWT bytes as uint8, number of
-    sequences).  The BWT is over the reference byte alphabet with
-    '\\0' end markers, ready for alphabet.encode."""
+    sequences, end positions).  The BWT is over the reference byte
+    alphabet with '\\0' end markers, ready for alphabet.encode."""
     f = _File(path)
     counts = f.u64(256).astype(np.int64)
     data_size = int(counts.sum())
-    pos_sets: list[tuple[int, np.ndarray]] = []
+    vecs: list[tuple[int, tuple]] = []
     for c in range(256):
         if counts[c] == 0:
             continue
@@ -154,10 +201,19 @@ def read_bwt(path: str) -> tuple[np.ndarray, int]:
             raise ValueError(
                 f"{path}: char {c} vector has {vec[1]} items, alphabet "
                 f"says {counts[c]}")
-        pos_sets.append((c, _rle_positions(*vec)))
-    # end_points (DeltaVector): only its item count is needed
-    ep_size, ep_items, *_ = _read_vector_header(f)
-    nseq = int(ep_items)
+        vecs.append((c, vec))
+    pos_sets: list[tuple[int, np.ndarray]] = []
+    for codec in ("nibble", "delta"):
+        try:
+            pos_sets = [(c, _rle_positions(*vec, codec=codec))
+                        for c, vec in vecs]
+            break
+        except ValueError:
+            if codec == "delta":
+                raise
+    ep = _read_vector_header(f)
+    ends = _delta_positions(*ep)       # sequence end positions
+    nseq = int(ep[1])
     n = data_size + nseq
     bwt = np.zeros(n, dtype=np.uint8)
     covered = 0
@@ -168,7 +224,7 @@ def read_bwt(path: str) -> tuple[np.ndarray, int]:
         covered += pos.size
     if covered != data_size:
         raise ValueError(f"{path}: covered {covered} of {data_size}")
-    return bwt, nseq
+    return bwt, nseq, ends
 
 
 def load_rlcsa(path: str):
@@ -183,8 +239,8 @@ def load_rlcsa(path: str):
     base = (path[: -len(ARRAY_EXTENSION)]
             if path.endswith(ARRAY_EXTENSION) else path)
     array_path = base + ARRAY_EXTENSION
-    bwt, nseq = read_bwt(array_path)
-    codes = alphabet.encode(bwt.tobytes())
+    bwt, nseq, ends = read_bwt(array_path)
+    codes = alphabet.encode(bwt)
     table = OccTable.build(codes)
     samplerate = DEFAULT_SAMPLERATE
     params = base + ".rlcsa.parameters"
@@ -192,9 +248,11 @@ def load_rlcsa(path: str):
         for line in open(params):
             if line.split("=")[0].strip() == "SAMPLE_RATE":
                 samplerate = int(line.split("=")[1])
-    idx = FMIndex(n=int(bwt.shape[0]), table=table,
-                  number_of_texts=nseq,
-                  max_text_length=0, samplerate=samplerate, names=[])
-    idx.max_text_length = max(
-        (len(t) for t in idx.extract_texts()), default=0)
-    return idx
+    # per-text lengths from the end-point positions (position space is
+    # the original collection: text k occupies (ends[k-1], ends[k]))
+    starts = np.concatenate([[-1], ends[:-1]])
+    max_len = int((ends - starts).max(initial=0))
+    return FMIndex(n=int(bwt.shape[0]), table=table,
+                   number_of_texts=nseq,
+                   max_text_length=max_len, samplerate=samplerate,
+                   names=[])

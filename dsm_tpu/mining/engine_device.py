@@ -134,10 +134,16 @@ def _next_pow2(x: int) -> int:
 
 
 def _auto_cap(dev: DeviceIndexes, floor: int) -> int:
-    """Fixed node capacity: every level's union width is bounded by the
-    number of distinct substrings of that length <= total text length,
-    so next_pow2(sum n_s) never overflows (clamped to CAP_MAX)."""
-    want = min(_next_pow2(int(dev.ns.sum()) + 1), CAP_MAX)
+    """Fixed node capacity.  The hard bound is next_pow2(sum n_s) (a
+    union level cannot hold more nodes than distinct substrings), but
+    measured metagenome tries peak well under n/4, and oversizing costs
+    every level real milliseconds (the level buffers are carried through
+    the bucket switch, whose boundary copies scale with capacity).  So
+    start at a quarter of the bound and let the (compile-cached)
+    FLAG_GROW exit quadruple it in the rare case a level overflows —
+    one GROWTH step lands exactly on the old conservative sizing."""
+    want = min(max(_next_pow2(int(dev.ns.sum()) + 1) // 4, DEV_MIN_CAP),
+               CAP_MAX)
     return max(DEV_MIN_CAP, _next_pow2(floor), want)
 
 
@@ -796,12 +802,14 @@ def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
     soff_p = prs[:, PC_SOFF]
     validp = iota_b < P
 
-    pos2 = jnp.concatenate([lo, hi])
-    cum8 = occ_cum8T(dev_frows,
-                     (pos2 >> LOG2_BLOCK) + jnp.concatenate(
-                         [soff_p, soff_p]),
-                     pos2 & (BLOCK - 1), pos2)          # (8, 2B)
-    olo, ohi = cum8[:, :B], cum8[:, B:]
+    # two B-wide rank calls, not one concatenated 2B call: the gather
+    # rate is saturated at these widths and the [:, :B] / [:, B:]
+    # minor-dim splits of a fused (8, 2B) result trigger a relayout in
+    # the surrounding level that two whole-array results avoid
+    olo = occ_cum8T(dev_frows, (lo >> LOG2_BLOCK) + soff_p,
+                    lo & (BLOCK - 1), lo)               # (8, B)
+    ohi = occ_cum8T(dev_frows, (hi >> LOG2_BLOCK) + soff_p,
+                    hi & (BLOCK - 1), hi)
     clo_m = olo[0:4]                                    # (4, B) c-major
     chi_m = ohi[0:4]
     crlo_m = rlo[None, :] + (ohi[4:8] - olo[4:8])
