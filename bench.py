@@ -246,6 +246,45 @@ def run_ours(idxs):
     return out, wall
 
 
+def run_ours_gnu(idxs):
+    """Timed gnu-order run (byte-exact reference emission order via
+    post-hoc reconstruction, mining/gnulazy.py): returns the per-prefix
+    concatenated output bytes exactly like the reference's 4-server
+    topology plus the wall time — exercises the lazy gnu reconstruction
+    at bench emission volume (VERDICT r4 weak #3)."""
+    from dsm_tpu.mining.config import MiningConfig
+    from dsm_tpu.mining.engine import DeviceIndexes, mine_tpu
+
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    dev = DeviceIndexes.build(idxs)
+    t0 = time.perf_counter()
+    blobs, paths = [], 0
+    for p in (b"A", b"C", b"G", b"T"):
+        out = mine_tpu(idxs, cfg, dev=dev, prefix=p, reader_order="gnu")
+        blobs.append(out.format_lines())
+        paths += out.total_paths
+    return b"".join(blobs), paths, time.perf_counter() - t0
+
+
+def run_ours_sharded_1chip(idxs):
+    """The sharded episode engine on a 1-device mesh of the real chip —
+    bounds the shard_map machinery's overhead vs mine_device on the
+    hardware it actually targets (VERDICT r4 weak #4)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from dsm_tpu.mining.config import MiningConfig
+    from dsm_tpu.parallel.engine_episode import mine_device_sharded
+    from dsm_tpu.parallel.mesh import SAMPLES_AXIS
+
+    cfg = MiningConfig(fmin=2, emax=1.2)
+    mesh = Mesh(np.array(jax.devices()[:1]), (SAMPLES_AXIS,))
+    mine_device_sharded(idxs, cfg, mesh=mesh)      # compile warmup
+    t0 = time.perf_counter()
+    out = mine_device_sharded(idxs, cfg, mesh=mesh)
+    return out, time.perf_counter() - t0
+
+
 def ref_binaries_ready() -> bool:
     return all(
         os.path.exists(os.path.join(REF_BIN, b))
@@ -286,15 +325,17 @@ def run_reference(fastas: list[str]) -> dict | None:
 
     base_port = int(os.environ.get("DSM_BENCH_PORT", "54410"))
     names = ("\n".join(samples) + "\n").encode()
-    servers, logs = [], []
+    servers, logs, outs = [], [], []
     t0 = time.perf_counter()
     for i, prefix in enumerate("ACGT"):
         logf = os.path.join(WORK, f"ref-server.{prefix}.log")
+        outf = os.path.join(WORK, f"ref-server.{prefix}.out")
         logs.append(logf)
+        outs.append(outf)
         p = subprocess.Popen(
             [os.path.join(REF_BIN, "metaserver"), "-p", str(base_port + i),
              "-v", *SERVER_ARGS],  # -v: end-of-run counters on stderr
-            stdin=subprocess.PIPE, stdout=subprocess.DEVNULL,
+            stdin=subprocess.PIPE, stdout=open(outf, "wb"),
             stderr=open(logf, "wb"), cwd=datadir)
         p.stdin.write(names)
         p.stdin.close()
@@ -324,8 +365,9 @@ def run_reference(fastas: list[str]) -> dict | None:
             for line in f:
                 if line.startswith("Number of paths:"):
                     paths += int(line.split(":")[1])
+    lines = b"".join(open(o, "rb").read() for o in outs)
     return {"mine_wall_s": mine_wall, "build_wall_s": build_wall,
-            "total_paths": paths}
+            "total_paths": paths, "lines": lines}
 
 
 def main() -> None:
@@ -348,6 +390,23 @@ def main() -> None:
     ours_rate = out.total_paths / wall
     log(f"bench: ours  {out.total_paths} paths in {wall:.2f}s "
         f"-> {ours_rate:,.0f} paths/s ({out.total_output} reported)")
+
+    gnu_blob, gnu_paths, gnu_wall = run_ours_gnu(idxs)
+    log(f"bench: gnu-order {gnu_paths} paths in {gnu_wall:.2f}s "
+        f"-> {gnu_paths / gnu_wall:,.0f} paths/s")
+
+    sharded = {}
+    try:
+        sout, swall = run_ours_sharded_1chip(idxs)
+        sharded = {"paths": sout.total_paths,
+                   "paths_per_s": round(sout.total_paths / swall, 1),
+                   "wall_s": round(swall, 2),
+                   "paths_equal": sout.total_paths == out.total_paths}
+        log(f"bench: 1chip-sharded {sout.total_paths} paths in "
+            f"{swall:.2f}s -> {sout.total_paths / swall:,.0f} paths/s")
+    except Exception as e:  # noqa: BLE001 - report, don't die
+        sharded = {"error": str(e)[:200]}
+        log(f"bench: 1chip-sharded failed: {e}")
 
     steps = bench_backward_search_steps(idxs)
     log(f"bench: backward-search {steps/1e6:,.0f}M steps/s/chip")
@@ -381,6 +440,24 @@ def main() -> None:
             f"ref={ref['total_paths']} — a perf number from a wrong "
             "traversal is meaningless, refusing to report one")
 
+    # gnu-order LINE-level parity at bench scale (VERDICT r4 weak #3):
+    # byte-compare our 4-prefix gnu emission against the live servers'
+    # concatenated stdout, or the frozen digest when offline
+    import hashlib
+    gnu_sha = hashlib.sha256(gnu_blob).hexdigest()
+    if live is not None and live.get("lines") is not None:
+        gnu_parity = gnu_blob == live["lines"]
+    elif frozen is not None and frozen.get("lines_sha256"):
+        gnu_parity = gnu_sha == frozen["lines_sha256"]
+    else:
+        gnu_parity = None
+    if gnu_parity is False:
+        raise SystemExit(
+            "bench: gnu-order line parity FAILED at scale "
+            f"{SCALE} (sha256 ours {gnu_sha})")
+    log(f"bench: gnu-order line parity {gnu_parity} "
+        f"({out.total_output} lines, sha256 {gnu_sha[:16]}…)")
+
     detail = {
         "scale": SCALE,
         "platform": platform,
@@ -392,7 +469,10 @@ def main() -> None:
         "baseline": baseline_kind,
         "ref_paths_per_s": round(ref_rate, 1),
         "steps_per_s_chip": round(steps, 1),
-        "scaling": scaling,
+        "gnu_paths_per_s": round(gnu_paths / gnu_wall, 1),
+        "gnu_line_parity": gnu_parity,
+        "scaling": dict(scaling, **({"1chip_sharded": sharded}
+                                    if sharded else {})),
     }
     if frozen is not None:
         fr = frozen["total_paths"] / frozen["mine_wall_s"]

@@ -314,7 +314,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("-o", "--output", default=None)
     b.add_argument("-s", "--sample-rate", dest="sample_rate",
                    type=_int_min(1, "-s, --sample-rate"), default=0)
-    b.add_argument("--sa-backend", choices=["numpy", "jax"], default="numpy")
+    # auto: suffix-sort on the accelerator when one is attached (the
+    # benched production path, bench.py build_indexes), numpy otherwise
+    b.add_argument("--sa-backend", choices=["auto", "numpy", "jax"],
+                   default="auto")
     b.add_argument("--format", choices=["dsmi", "fmi"], default="dsmi",
                    help="fmi writes a reference-compatible v17 index")
     b.add_argument("--buffer-symbols", type=_int_min(1, "--buffer-symbols"),

@@ -33,12 +33,25 @@ def build_index(
     input_fasta: str,
     output: str | None = None,
     samplerate: int = DEFAULT_SAMPLERATE,
-    sa_backend: str = "numpy",
+    sa_backend: str = "auto",
     verbose: bool = False,
     fmt: str = "dsmi",
     buffer_symbols: int = 0,
 ) -> str:
     t0 = time.time()
+    if sa_backend == "auto":
+        # the on-chip prefix-doubling sort is the benched production
+        # path (bench.py build_indexes); fall back to numpy off-chip
+        try:
+            import jax
+
+            sa_backend = ("jax" if jax.default_backend() != "cpu"
+                          else "numpy")
+        except Exception:  # pragma: no cover - jax always importable
+            sa_backend = "numpy"
+        if verbose:
+            print(f"builder: sa-backend auto -> {sa_backend}",
+                  file=sys.stderr)
     texts = []
     names = []
     for rec in read_fasta(input_fasta):

@@ -40,6 +40,7 @@ reference pipeline (tests/test_parity.py).
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -62,6 +63,31 @@ MAX_SAMPLES = 512
 # ONE int32 sort operand (soff * MAX_SAMPLES + sid), so the stacked
 # tables must keep soff * MAX_SAMPLES + MAX_SAMPLES - 1 < 2^31.
 MAX_TABLE_ROWS = 2**31 // MAX_SAMPLES
+
+DEFAULT_HBM_BYTES = 14 << 30   # v5e: 16 GiB minus runtime reserves
+
+
+def hbm_budget() -> int:
+    """Per-device HBM budget in bytes (env DSM_HBM_BYTES overrides; the
+    device's own report is used when the backend exposes one).  CPU
+    hosts get an effectively-unbounded budget (host RAM is the limit
+    and pages)."""
+    env = os.environ.get("DSM_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return 1 << 62
+        stats = dev.memory_stats() or {}
+        lim = stats.get("bytes_limit")
+        if lim:
+            return int(lim * 0.9)
+    except Exception:
+        pass
+    return DEFAULT_HBM_BYTES
 
 
 @dataclass
@@ -161,6 +187,16 @@ class DeviceIndexes:
                 "indexed symbols per device); shard the sample axis "
                 "over more devices (parallel/engine_episode.py) or "
                 "mine per-prefix partitions (parallel/mesh.py)")
+        resident = 2 * off * ROWW * 4
+        budget = hbm_budget()
+        if resident > budget:
+            raise ValueError(
+                f"resident occ tables need {resident:,} bytes but the "
+                f"device budget is {budget:,} (DSM_HBM_BYTES overrides): "
+                "shard the sample axis over more devices "
+                "(parallel/engine_episode.py) or use "
+                "mining.bigindex.mine_big, which plans sharding and "
+                "falls back to the bounded-memory host engine")
         return cls(S=S, ns=ns,
                    fnp=np.concatenate(fparts),
                    rnp=np.concatenate(rparts),
