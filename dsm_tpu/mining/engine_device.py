@@ -102,6 +102,12 @@ from .engine_np import LOG2, MinedOutput, node_entropy
 LB_MIN = 13           # smallest level bucket: 2^13 = 8192
 DEV_MIN_CAP = 1 << LB_MIN
 CAP_MAX = 1 << 22     # node-capacity clamp; beyond this FLAG_GROW kicks in
+# FLAG_GROW ceiling: one growth step past CAP_MAX still compiles and
+# runs in v5e HBM; beyond it the level buffers and big-bucket temps
+# (occ intermediates, scan rows, sort operands all scale with the
+# bucket) exceed the chip, so raise with the partitioning guidance
+# instead of letting the XLA compile OOM
+CAP_GROW_MAX = 1 << 23
 PAIR_HEADROOM = 2     # PROW = PAIR_HEADROOM * NCAP (avg active samples per
 #                       node is ~1.3 on real metagenomes; overflow grows)
 GROWTH = 4            # capacity growth factor on (rare) overflow
@@ -112,6 +118,7 @@ ENT_MARGIN = 1e-2      # f32 entropy gate slack; host re-gates in f64
 DECODE_K = 4096        # rows per on-device path-decode dispatch
 (FLAG_RUN, FLAG_DONE, FLAG_DRAIN, FLAG_GROW, FLAG_HISTFULL,
  FLAG_TAIL) = range(6)
+PFX_MAX = 16           # enforced-prefix symbols carried as traced state
 
 # packed pair-row columns ((PROW, 8) int32); PC_SOFF carries the pair's
 # per-sample occ-table row offset so expansion needs NO per-pair meta
@@ -215,14 +222,22 @@ class _Scalars:
     maxdepth: object
     tail_width: object
     out_reserve: object
+    pcs: object = None      # (PFX_MAX,) int32 enforced-prefix codes
+    plen: object = None     # int32 enforced-prefix length
 
     @classmethod
     def build(cls, cfg: MiningConfig, tail_width: int = TAIL_WIDTH,
-              out_reserve: int = OUT_RESERVE):
+              out_reserve: int = OUT_RESERVE,
+              prefix_codes: tuple = ()):
         import jax.numpy as jnp
 
         i32 = lambda v: jnp.asarray(v, jnp.int32)  # noqa: E731
         maxd = min(cfg.maxdepth, 2**31 - 1)
+        if len(prefix_codes) > PFX_MAX:
+            raise ValueError(
+                f"enforced prefix longer than {PFX_MAX} symbols")
+        pcs = np.zeros(PFX_MAX, dtype=np.int32)
+        pcs[:len(prefix_codes)] = prefix_codes
         return cls(
             fmin=i32(cfg.fmin), pmin=i32(cfg.pmin), pmax=i32(cfg.pmax),
             emin=jnp.asarray(cfg.emin, jnp.float32),
@@ -230,12 +245,13 @@ class _Scalars:
             use_egate=jnp.asarray(cfg.emax > 0, bool),
             mindepth=i32(cfg.mindepth), maxdepth=i32(maxd),
             tail_width=i32(tail_width), out_reserve=i32(out_reserve),
+            pcs=jnp.asarray(pcs), plen=i32(len(prefix_codes)),
         )
 
     def flat(self):
         return (self.fmin, self.pmin, self.pmax, self.emin, self.emax,
                 self.use_egate, self.mindepth, self.maxdepth,
-                self.tail_width, self.out_reserve)
+                self.tail_width, self.out_reserve, self.pcs, self.plen)
 
 
 def _seed_episode(dev: DeviceIndexes, cap: int, hist_cap: int | None = None):
@@ -740,7 +756,7 @@ def _nln_value_w(winsums, wbits: int):
 
 
 def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
-                  sc: _Scalars, prefix_codes, hist_cap, state):
+                  sc: _Scalars, hist_cap, state):
     """One single-device trie level at static bucket width B — the
     round-5 redesign of `_level_at_bucket`'s axis_name=None branch,
     keeping its exact semantics (differentially tested against
@@ -785,12 +801,14 @@ def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
     wpar = 1 - par
     S_total = s_total
 
+    # enforced prefix as TRACED state (sc.pcs/sc.plen): one compiled
+    # episode serves every prefix partition — per-prefix runs (gnu
+    # parity, big-trie partitioning) stopped costing a full ladder
+    # recompile each
     sym_mask = jnp.ones(4, dtype=bool)
-    if len(prefix_codes):
-        pcs = jnp.asarray(prefix_codes, jnp.int32)
-        enforced = pcs[jnp.minimum(depth, len(prefix_codes) - 1)]
-        onehot = jnp.arange(4, dtype=jnp.int32) == enforced
-        sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
+    enforced = sc.pcs[jnp.minimum(depth, sc.pcs.shape[0] - 1)]
+    onehot = jnp.arange(4, dtype=jnp.int32) == enforced
+    sym_mask = jnp.where(depth < sc.plen, onehot, sym_mask)
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
     iota_b = jnp.arange(B, dtype=jnp.int32)
@@ -1048,7 +1066,7 @@ def bucket_ladder(prow: int) -> list[int]:
 
 
 @functools.cache
-def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
+def _jitted_episode(cap: int, hist_cap: int, S: int):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -1068,7 +1086,7 @@ def _jitted_episode(cap: int, hist_cap: int, S: int, prefix_codes: tuple):
                          len(ladder) - 1)
             branches = [
                 functools.partial(_level_single, b, frows, rrows, S,
-                                  sc, prefix_codes, hist_cap)
+                                  sc, hist_cap)
                 for b in ladder
             ]
             return lax.switch(k, branches, st)
@@ -1366,9 +1384,10 @@ def mine_device(
                                server_prefix_len=max(1, len(prefix)))
     elif reader_order != "ascending":
         raise ValueError(f"unknown reader_order {reader_order!r}")
-    sc = _Scalars.build(cfg, tail_width=tail_width,
-                        out_reserve=min(out_reserve, OUT_RESERVE))
     prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
+    sc = _Scalars.build(cfg, tail_width=tail_width,
+                        out_reserve=min(out_reserve, OUT_RESERVE),
+                        prefix_codes=prefix_codes)
     debug = os.environ.get("DSM_DEBUG") == "1"
     # SURVEY §5.1: DSM_TRACE=<dir> wraps the mining episodes in a JAX
     # profiler trace (XLA-op device timeline; inspect the
@@ -1442,7 +1461,7 @@ def mine_device(
                             live_paths)
 
     while True:
-        fn = _jitted_episode(cap, hist_cap, dev.S, prefix_codes)
+        fn = _jitted_episode(cap, hist_cap, dev.S)
         state = fn(dev.frowsT, dev.rrowsT, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
@@ -1453,7 +1472,16 @@ def mine_device(
                   f"t={time.perf_counter() - t0:.1f}s",
                   file=sys.stderr, flush=True)
         if flag == FLAG_GROW:
-            cap *= GROWTH
+            if cap >= CAP_GROW_MAX:
+                raise ValueError(
+                    f"frontier exceeds single-episode capacity (cap "
+                    f"{cap} is the growth ceiling CAP_GROW_MAX): "
+                    "partition the trie by prefix — mine per enforced "
+                    "prefix and concatenate (mine_device(prefix=...), "
+                    "parallel/mesh.py, the reference's own 4^k-server "
+                    "topology) — or shard samples "
+                    "(parallel/engine_episode.py)")
+            cap = min(cap * GROWTH, CAP_GROW_MAX)
             state = _resize_state(state, dev, cap, hist_cap)
             state["flag"] = jnp.asarray(FLAG_RUN, jnp.int32)
             continue

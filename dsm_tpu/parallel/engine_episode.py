@@ -164,7 +164,7 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
 
     fn = _shard_map(
         shard_body, mesh,
-        in_specs=(sh, sh, state_spec) + (rep,) * 10,
+        in_specs=(sh, sh, state_spec) + (rep,) * 12,
         out_specs=state_spec)
     return jax.jit(fn, donate_argnums=(2,))
 

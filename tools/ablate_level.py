@@ -55,7 +55,7 @@ def main() -> None:
     @functools.cache
     def one_level(b):
         fn = functools.partial(ed._level_single, b, dev.frowsT,
-                               dev.rrowsT, dev.S, sc, (), hist_cap)
+                               dev.rrowsT, dev.S, sc, hist_cap)
         return jax.jit(fn)
 
     for lvl in range(target):
@@ -94,7 +94,7 @@ def main() -> None:
         # a NEW function object per bench: jax caches traces on function
         # identity, so reusing one partial would reuse the unpatched trace
         return lambda st: ed._level_single(B, dev.frowsT, dev.rrowsT,
-                                           dev.S, sc, (), hist_cap, st)
+                                           dev.S, sc, hist_cap, st)
 
     bench("FULL level", fresh_full())
 
