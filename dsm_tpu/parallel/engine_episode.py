@@ -169,13 +169,23 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
     return jax.jit(fn, donate_argnums=(2,))
 
 
+# the sharded level's per-bucket temps are fatter than the single-device
+# redesign (exists-lattice childrows, dense (4B, 8) gathers, replicated
+# history), so both the auto clamp and the growth ceiling sit one notch
+# lower — a v5e compile at cap 2^22 already exceeds HBM at scale-1000
+# table sizes
+SHARDED_CAP_MAX = 1 << 21
+SHARDED_CAP_GROW_MAX = 1 << 22
+
+
 def _auto_cap_sharded(dev, floor: int) -> int:
     """Fixed node capacity, mirroring engine_device._auto_cap: no union
     level exceeds the total indexed length (clamped; FLAG_GROW regrows
-    past the clamp)."""
+    past the clamp up to SHARDED_CAP_GROW_MAX)."""
     total = int(np.asarray(dev.ns).sum())
     return max(1 << LB_MIN, _next_pow2(floor),
-               min(_next_pow2(total + 1), 1 << 22))
+               min(max(_next_pow2(total + 1) // 4, 1 << LB_MIN),
+                   SHARDED_CAP_MAX))
 
 
 def _single_controller() -> bool:
@@ -687,7 +697,13 @@ def mine_device_sharded(
                   file=sys.stderr, flush=True)
         if flag == FLAG_GROW:
             # rare: re-bucket at larger capacity, replay the live pairs
-            cap *= GROWTH
+            if cap >= SHARDED_CAP_GROW_MAX:
+                raise ValueError(
+                    f"frontier exceeds the sharded episode's capacity "
+                    f"ceiling (cap {cap}): partition the trie by prefix "
+                    "(one episode per enforced prefix, parallel/mesh.py) "
+                    "or use more shards")
+            cap = min(cap * GROWTH, SHARDED_CAP_GROW_MAX)
             state = _resize_sharded(state, dev, n_shards, cap, hist_cap,
                                     mesh)
             continue
