@@ -271,9 +271,13 @@ def run_ours_gnu(idxs):
 
     cfg = MiningConfig(fmin=2, emax=1.2)
     dev = DeviceIndexes.build(idxs)
+    # a single full-trie gnu run's sorted postorder IS the 4 servers'
+    # concatenated output (tests/test_scale_parity.py pins this); big
+    # tries partition by prefix like run_ours
+    prefixes = ([b"A", b"C", b"G", b"T"] if SCALE >= 500 else [b""])
     t0 = time.perf_counter()
     blobs, paths = [], 0
-    for p in (b"A", b"C", b"G", b"T"):
+    for p in prefixes:
         out = mine_tpu(idxs, cfg, dev=dev, prefix=p, reader_order="gnu")
         blobs.append(out.format_lines())
         paths += out.total_paths
@@ -492,6 +496,13 @@ def main() -> None:
         fr = frozen["total_paths"] / frozen["mine_wall_s"]
         detail["frozen_ref_paths_per_s"] = round(fr, 1)
         detail["vs_frozen"] = round(ours_rate / fr, 3)
+    sweep_file = os.path.join(HERE, "BENCH_SCALE_SWEEP.json")
+    if os.path.exists(sweep_file):
+        # builder-measured larger-scale comparisons (BENCHLOG_r05.md):
+        # the reference's cache-resident advantage fades with sample
+        # size while the TPU gather rate holds
+        with open(sweep_file) as f:
+            detail["scale_sweep"] = json.load(f)["rows"]
     print(json.dumps({
         "metric": "substrings_enumerated_per_s",
         "value": round(ours_rate, 1),

@@ -18,6 +18,17 @@ Each case compiles+runs a tiny kernel and prints PASS / the failure.
 
 If all three print PASS on a future toolchain, ops/pallas_compact.py
 can be promoted to the production compaction path.
+
+Observed on the round-5 toolchain (jax 0.9.0, axon remote compile):
+  * async_copy: HTTP 500 (tpu_compile_helper subprocess crash), every
+    run — DMA-bearing kernels cannot be compiled remotely;
+  * smem_carry: intermittent HTTP 500 on the SAME kernel across runs —
+    even DMA-free kernels compile only sometimes;
+  * dynamic_store: passed in this minimal form (the masked-swap
+    miscompile that hit ops/pallas_compact.py needs the fuller kernel).
+Conclusion recorded in BENCHLOG_r05.md: multi-operand sorted
+compaction IS the practical floor on this toolchain; the Pallas
+kernel remains parked with these repros.
 """
 
 from __future__ import annotations
@@ -103,9 +114,10 @@ def main() -> None:
     def k3(x_ref, o_ref):
         v = x_ref[...]
         # data-dependent offset (here: constant 0 computed from data so
-        # the compiler cannot fold it)
+        # the compiler cannot fold it); the store writes BLK rows at it
         off = jnp.sum(v[:1]) * 0
-        o_ref[pl.ds(off, BLK)] = v
+        o_ref[pl.ds(off, BLK)] = v[:BLK]
+        o_ref[pl.ds(off + BLK, N - BLK)] = v[BLK:]
 
     def run3():
         return pl.pallas_call(
