@@ -717,6 +717,14 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
     )
 
 
+def _use_poff_key(B: int, P2: int) -> bool:
+    """True when the children-sort key can carry (nid*4+c)*P2 + poff in
+    uint32 without colliding with the drop sentinel; extreme
+    (bucket x sample-count) combinations key on hv alone with a stable
+    sort instead (tests monkeypatch this to pin the fallback)."""
+    return 4 * B * P2 < 1 << 32
+
+
 def _nln_windows_w(term, wbits: int, nwin: int):
     """Generalized fixed-point windows of v = trunc(term * 2^_NLN_FP):
     nwin windows of wbits bits each (window k = bits [k*wbits,
@@ -902,7 +910,7 @@ def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
     woff = jnp.minimum(state["hist_len"], jnp.int32(hist_cap))
     iota_wp = jnp.arange(wp, dtype=jnp.int32)
     P2 = _next_pow2(max(s_total, 2))
-    if 4 * B * P2 < 1 << 32:
+    if _use_poff_key(B, P2):
         # unique key (nid*4 + c)*P2 + poff: key values < 4*B*P2 <=
         # 2^32 - P2, so uint32 arithmetic is exact and the 0xFFFFFFFF
         # drop sentinel cannot collide with a kept key

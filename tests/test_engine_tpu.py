@@ -166,3 +166,24 @@ def test_engine_273_samples_reachable(rng):
     got = mine_device(idxs, cfg)
     assert got.format_lines() == want.format_lines()
     assert got.total_paths == want.total_paths
+
+
+def test_stable_hv_fallback_matches(small_indexes, monkeypatch):
+    """The children-sort keys on hv alone + is_stable when
+    (bucket x P2) overflows uint32 (engine_device._use_poff_key);
+    equal-hv lanes sit in c-major order = ascending pair order, so the
+    two key schemes must mine identically."""
+    import dsm_tpu.mining.engine_device as ed
+    from dsm_tpu.mining.config import MiningConfig
+    from dsm_tpu.mining.engine_device import mine_device
+
+    cfg = MiningConfig(fmin=2, emax=1.6)
+    want = mine_device(small_indexes, cfg)
+    monkeypatch.setattr(ed, "_use_poff_key", lambda B, P2: False)
+    ed._jitted_episode.cache_clear()
+    try:
+        got = mine_device(small_indexes, cfg)
+    finally:
+        ed._jitted_episode.cache_clear()
+    assert got.format_lines() == want.format_lines()
+    assert got.total_paths == want.total_paths
