@@ -851,9 +851,12 @@ def _level_single(B: int, dev_frows, dev_rrows, s_total: int,
     f1 = (freq + 1).astype(jnp.float32)
     nlnw = _nln_windows_w(jnp.where(pa, f1 * jnp.log2(f1), 0.0),
                           wbits, nwin)
+    # the active-reader count uses pa, not validp: pairs normally all
+    # have freq >= 1, but the halt side channel (_apply_halt) empties
+    # pruned pairs in place and they must not count as readers
     M = jnp.stack([freq] + nlnw
                   + [cact[c].astype(jnp.int32) for c in range(4)]
-                  + [validp.astype(jnp.int32)], axis=0)  # (6+nwin, B)
+                  + [pa.astype(jnp.int32)], axis=0)      # (6+nwin, B)
     NC = 6 + nwin
     A = jnp.cumsum(M, axis=1)
     nid_x = jnp.where(validp, nid, jnp.int32(B) + iota_b)
@@ -1314,6 +1317,56 @@ def _handoff_tail(indexes, cfg, prefix, out, state, ph: PathHistory,
               file=sys.stderr, flush=True)
 
 
+def _apply_halt(state, ph: PathHistory, seg_depth0: int,
+                prefixes: list[bytes], debug: bool = False) -> None:
+    """Prune the live frontier under `prefixes` — the TPU-native form of
+    the reference's server->client halt side channel
+    (ServerSocket::writeHalt / TrieReader::sendHalt / checkHalt,
+    ServerSocket.h:88-95, ClientSocket.h:48-77; vestigial there,
+    SURVEY §5.3/§5.8: "the halt channel becomes a broadcast pruning
+    mask applied to the next frontier").  Called at episode exits: the
+    current frontier's paths are decoded, nodes under a halted prefix
+    get their pairs' intervals emptied (hi := lo), and the subtree
+    disappears from the next level on.  The halted nodes' own emission
+    already happened when their level committed, matching the
+    reference's stop-below-this-node semantics."""
+    import jax.numpy as jnp
+
+    if not prefixes:
+        return
+    n = int(state["nnodes"])
+    m = int(state["npairs"])
+    if n == 0 or m == 0:
+        return
+    depth = int(state["depth"])
+    paths = _decode_rows(state, ph, seg_depth0, np.arange(n),
+                         np.full(n, depth))
+    kill_node = np.zeros(n, dtype=bool)
+    for i, p in enumerate(paths):
+        for pre in prefixes:
+            if p.startswith(pre):
+                kill_node[i] = True
+                break
+    if not kill_node.any():
+        return
+    par = int(state["parity"])
+    prs = np.asarray(state["pr"][par, :m])
+    kill_pair = kill_node[np.minimum(prs[:, PC_NID], n - 1)] \
+        & (np.arange(m) < m)
+    idx = np.flatnonzero(kill_pair)
+    if debug:
+        print(f"mine_device: halt prunes {kill_node.sum()} nodes / "
+              f"{idx.size} pairs at depth {depth}", file=sys.stderr)
+    # pad the scatter to a pow2 width so jit caches stay bounded; the
+    # padding repeats a real index with its own lo (idempotent)
+    w = _next_pow2(max(idx.size, 1))
+    pad = np.full(w, idx[0], dtype=np.int64)
+    pad[:idx.size] = idx
+    lo_vals = prs[pad, PC_LO]
+    state["pr"] = state["pr"].at[par, jnp.asarray(pad), PC_HI].set(
+        jnp.asarray(lo_vals))
+
+
 def _resize_state(state, dev: DeviceIndexes, cap: int, hist_cap: int):
     """Rare safety path (frontier exceeded CAP_MAX): re-bucket every
     capacity-dependent buffer on device, preserving the live pair list
@@ -1348,6 +1401,7 @@ def mine_device(
     out_reserve: int = OUT_RESERVE,
     checkpoint: str | None = None,
     reader_order: str = "ascending",
+    halt=None,
 ) -> MinedOutput:
     """Mine with the device-resident episode loop, handing narrow deep
     frontiers to the host wavefront.  Output lines/stats match
@@ -1363,6 +1417,12 @@ def mine_device(
     `cap` is a floor; the actual fixed node capacity is next_pow2(sum of
     text lengths) clamped to CAP_MAX, which no union level can exceed,
     so the episode compiles once and runs without grow/resize exits.
+
+    `halt`: optional steering callback `halt(depth, out) -> list of
+    path prefixes`, polled at every episode exit — the reference's
+    (vestigial) server->client halt side channel as a frontier pruning
+    mask (_apply_halt; ServerSocket.h:88-95, SURVEY §5.8).  Subtrees
+    under returned prefixes stop being explored from the next level on.
 
     `checkpoint`: path to a snapshot written at every drain-type episode
     exit and resumed from automatically when the file exists
@@ -1498,6 +1558,9 @@ def mine_device(
             break
         if flag == FLAG_TAIL:
             _drain(out, cfg, d, state, ph, seg_depth0, dev, tracker)
+            if halt is not None:
+                _apply_halt(state, ph, seg_depth0,
+                            halt(int(state["depth"]), out), debug)
             # fold device-side stats in BEFORE the host tail refines them
             out.total_paths += int(state["total_paths"])
             em, eM = float(state["ent_min"]), float(state["ent_max"])
@@ -1514,11 +1577,17 @@ def mine_device(
             return out
         if flag == FLAG_DRAIN:
             _drain(out, cfg, d, state, ph, seg_depth0, dev, tracker)
+            if halt is not None:
+                _apply_halt(state, ph, seg_depth0,
+                            halt(int(state["depth"]), out), debug)
             _save()
         elif flag == FLAG_HISTFULL:
             # outputs reference the current segment: decode them first,
             # then pull the finished levels and reset the device segment
             _drain(out, cfg, d, state, ph, seg_depth0, dev, tracker)
+            if halt is not None:
+                _apply_halt(state, ph, seg_depth0,
+                            halt(int(state["depth"]), out), debug)
             _pull_segment(ph, seg_depth0, state)
             seg_depth0 = int(state["depth"])
             _save()

@@ -243,11 +243,12 @@ def test_load_reference_sa_sidefile(sample, sa_oracle_bin):
         assert loaded.occurrences(pat) == mine.occurrences(pat)
 
 
-def test_rlcsa_artifact_clear_error(tmp_path):
+def test_rlcsa_artifact_dispatch(tmp_path):
     """TextCollection::load also dispatches .rlcsa.array
-    (TextCollection.cpp:27-62); we refuse it with a message naming the
-    supported alternatives (VERDICT r2 #8)."""
+    (TextCollection.cpp:27-62); since round 5 we READ the format
+    (index/rlcsa.py, tests/test_rlcsa.py) — a truncated file must still
+    fail loudly, not load garbage."""
     p = tmp_path / "x.rlcsa.array"
     p.write_bytes(b"\x00" * 16)
-    with pytest.raises(ValueError, match="rebuild the index|not.*supported"):
+    with pytest.raises(Exception):
         FMIndex.load(str(p))
