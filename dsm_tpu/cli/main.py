@@ -185,7 +185,15 @@ def cmd_mine(args) -> int:
                   f"{out.smallest_entropy:g} and {out.largest_entropy:g}",
                   file=sys.stderr)
         return 0
-    if args.engine == "numpy":
+    if args.engine == "auto":
+        from ..mining.bigindex import mine_big
+
+        if prefix:
+            _die("dsm mine: --engine auto does not take --prefix")
+        out = mine_big(indexes, cfg, budget=args.hbm_budget,
+                       reader_order=args.reader_order,
+                       verbose=args.verbose)
+    elif args.engine == "numpy":
         from ..mining.engine_np import mine_np
 
         out = mine_np(indexes, cfg, prefix=prefix,
@@ -378,11 +386,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mine only the subtree under this DNA prefix "
                         "(enforcepath)")
     m.add_argument("--engine",
-                   choices=["tpu", "numpy", "sharded", "sharded-episode"],
+                   choices=["tpu", "auto", "numpy", "sharded",
+                            "sharded-episode"],
                    default="tpu",
-                   help="sharded: per-level mesh engine; sharded-episode: "
-                        "device-resident episode loop over a samples "
-                        "mesh (gnu-order and checkpoint capable)")
+                   help="auto: capacity-planned routing (single chip / "
+                        "sample-sharded mesh / bounded-memory host, "
+                        "mining/bigindex.py); sharded: per-level mesh "
+                        "engine; sharded-episode: device-resident episode "
+                        "loop over a samples mesh (gnu-order and "
+                        "checkpoint capable)")
+    m.add_argument("--hbm-budget", type=_int_min(1, "--hbm-budget"),
+                   default=None,
+                   help="per-device HBM budget in bytes for --engine "
+                        "auto (default: the device's own report, or "
+                        "DSM_HBM_BYTES)")
     m.add_argument("--reader-order", choices=["ascending", "gnu"],
                    default="ascending",
                    help="per-line reader order; 'gnu' replicates the "

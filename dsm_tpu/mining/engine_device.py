@@ -347,53 +347,34 @@ def _nln_value(d3):
             * np.float32(2.0 ** -_NLN_FP))
 
 
-def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
-                     sc: _Scalars, prefix_codes, hist_cap, state,
-                     axis_name: str | None = None):
-    """One trie level at static bucket width B >= max(P, U+1) drawn
-    from the bucket ladder (powers of two plus 3*2^k half-steps — the
-    mid-trie plateau sits just above a power of two, and a half-step
-    bucket cuts its ~1.5x lane slack; see bucket_ladder):
-    a single full-width vectorized pass (no chunking, no host trips;
-    compactions are sort-based, see ops/compact.compact_kidx_sort).
+def _level_sharded(B: int, dev_frowsT, s_total: int,
+                   sc: _Scalars, hist_cap, axis_name: str, state):
+    """One trie level of the SHARDED episode at static bucket width B —
+    the shard_map body of parallel/engine_episode.py.  The pair list,
+    nb boundaries and occ tables hold only this shard's samples; the
+    per-node boundary statistics are psum'd over the samples axis — the
+    TPU-native form of the reference's cross-sample trie-stream merge
+    (metaserver.cpp:159-189,325-339).  Everything derived from the
+    psum'd values (child numbering, gates, history, flags) is computed
+    identically on every shard; pair compaction and output emission
+    stay local.
 
-    With `axis_name` the function is the shard_map body of the
-    multi-device episode (parallel/engine_episode.py): the pair list,
-    nb boundaries and occ tables hold only this shard's samples, and
-    the per-node boundary statistics are psum'd over the samples axis —
-    the TPU-native form of the reference's cross-sample trie-stream
-    merge (metaserver.cpp:159-189,325-339).  Everything derived from
-    the psum'd values (child numbering, gates, history, flags) is
-    computed identically on every shard; pair compaction and output
-    emission stay local.
+    Round-5 port of the single-device redesign (_level_single): ranks
+    go through the transposed-table column gather (ops/rank.occ_cumT)
+    and every child table lives c-major, so the (4, B) -> (4B,) flattens
+    are free.  What stays different from _level_single, by necessity:
 
-    Invariant: the pair list is sorted by node id and each node's pairs
-    are contiguous (within a node: ascending sample id).  It is
-    maintained by numbering union children SYM-MAJOR — all A-children
-    first (by parent node id), then C, G, T — which is exactly the
-    c-major flatten order of the (B, 4) child tables, so ONE global
-    cumsum over the flattened keep mask assigns every surviving child
-    pair its slot and ONE sort-based compaction (ops/compact.py)
-    gathers them into the next level's packed rows.
+      * per-node statistics must sit at NODE-INDEXED rows so the psum
+        aligns them across shards (a shard may hold no pairs at all for
+        some node), so they come from boundary gathers of the (8, B+1)
+        transposed prefix sums at this shard's nb array — not from the
+        per-pair segment broadcasts;
+      * child ids come from the GLOBAL exists lattice (cumsum over the
+        psum'd per-symbol counts), and the next pair list is gathered
+        from a c-major child table by compaction indices — the hv-key
+        payload sort cannot know about pairs other shards hold.
 
-    Stages (all width B or 4B):
-      expand   — 2 fused-row ranks per pair -> child intervals (B, 4);
-      stats    — per-pair freq / (f+1)log2(f+1) windows / child-activity
-                 prefix-summed as (B+1, 8) rows; per-node statistics are
-                 two row gathers at the nb boundaries (metaserver's
-                 merge, .cpp:356-389);
-      gates    — output gates (metaserver.cpp:403-417; left-branching
-                 deferred to drain), entropy stats, sym-major child
-                 numbering, per-child history entries and next-level nb;
-      emit     — sort-compact gated pairs into the out rows;
-      children — sort-compact surviving child pairs into the
-                 write half of the pair list.
-
-    Committing flips the pair-list parity and advances the scalar
-    counters; a redo (grow/histfull) freezes the scalars only — every
-    buffer write lands at offset 0 of the write half or beyond the
-    committed offsets, so the redone level overwrites the same regions.
-    """
+    Commit/redo contract identical to _level_single."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -410,105 +391,67 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
     # which under sharding exceeds this shard's local slice
     S_total = s_total
 
-    # per-level symbol mask: enforced prefix, then maxdepth cutoff
     sym_mask = jnp.ones(4, dtype=bool)
-    if len(prefix_codes):
-        pcs = jnp.asarray(prefix_codes, jnp.int32)
-        enforced = pcs[jnp.minimum(depth, len(prefix_codes) - 1)]
-        onehot = jnp.arange(4, dtype=jnp.int32) == enforced
-        sym_mask = jnp.where(depth < len(prefix_codes), onehot, sym_mask)
+    enforced = sc.pcs[jnp.minimum(depth, sc.pcs.shape[0] - 1)]
+    onehot = jnp.arange(4, dtype=jnp.int32) == enforced
+    sym_mask = jnp.where(depth < sc.plen, onehot, sym_mask)
     sym_mask = sym_mask & (depth < sc.maxdepth)
 
     iota_b = jnp.arange(B, dtype=jnp.int32)
 
-    # ---- expand: 2 fused-row ranks per pair -> child intervals --------
+    # ---- expand: transposed ranks -> c-major child tables -------------
     prs = lax.dynamic_slice(state["pr"], (par, 0, 0), (1, B, 8))[0]
     lo, hi, rlo = prs[:, PC_LO], prs[:, PC_HI], prs[:, PC_RLO]
     sid, nid = prs[:, PC_SID], prs[:, PC_NID]
     soff_p = prs[:, PC_SOFF]
     validp = iota_b < P
 
-    # ONE batched rank call for both interval ends: the occ-table gather
-    # rate improves markedly with batch size (tools/micro_bench.py), so
-    # lo‖hi in a single 2B-query gather beats two B-query calls
-    cum2 = occ_cum(dev_frows,
-                   jnp.concatenate([(lo >> LOG2_BLOCK) + soff_p,
-                                    (hi >> LOG2_BLOCK) + soff_p]),
-                   jnp.concatenate([lo & (BLOCK - 1), hi & (BLOCK - 1)]))
-    cum_lo, cum_hi = cum2[:B], cum2[B:]
-    occ_lo, psum_lo = _occ_psum4(cum_lo, lo)
-    occ_hi, psum_hi = _occ_psum4(cum_hi, hi)
+    olo = occ_cum8T(dev_frowsT, (lo >> LOG2_BLOCK) + soff_p,
+                    lo & (BLOCK - 1), lo)               # (8, B)
+    ohi = occ_cum8T(dev_frowsT, (hi >> LOG2_BLOCK) + soff_p,
+                    hi & (BLOCK - 1), hi)
     pa = validp & (hi > lo)
-    pa4 = pa[:, None]
-    # C4 is baked into the occ tables: occ_lo/occ_hi ARE the child bounds
-    clo = jnp.where(pa4, occ_lo, 0)                  # (B, 4)
-    chi = jnp.where(pa4, occ_hi, 0)
-    crlo = jnp.where(pa4, rlo[:, None] + psum_hi - psum_lo, 0)
-    cact = pa4 & (chi - clo >= sc.fmin)
+    clo_m = jnp.where(pa[None, :], olo[0:4], 0)         # (4, B)
+    chi_m = jnp.where(pa[None, :], ohi[0:4], 0)
+    crlo_m = jnp.where(pa[None, :],
+                       rlo[None, :] + (ohi[4:8] - olo[4:8]), 0)
+    cact = pa[None, :] & (chi_m - clo_m >= sc.fmin)     # (4, B)
+    keepc = cact & sym_mask[:, None]
 
-    # ---- stats: prefix-sum rows + per-node boundary differences -------
+    # ---- stats: transposed prefix sums + nb boundary gathers ----------
     freq = jnp.where(pa, hi - lo, 0)
     f1 = (freq + 1).astype(jnp.float32)
-    nlnw = _nln_windows(jnp.where(pa, f1 * jnp.log2(f1), 0.0))   # (B, 3)
-    stat = jnp.concatenate(
-        [freq[:, None], nlnw, cact.astype(jnp.int32)], axis=1)   # (B, 8)
+    nlnw = _nln_windows_w(jnp.where(pa, f1 * jnp.log2(f1), 0.0), 16, 3)
+    statT = jnp.stack([freq] + nlnw
+                      + [cact[c].astype(jnp.int32) for c in range(4)],
+                      axis=0)                           # (8, B)
     validn = iota_b < U
-    if axis_name is not None:
-        # SHARDED: per-node sums must sit at node-indexed rows on every
-        # shard (the psum aligns rows across shards, and a shard may
-        # hold no pairs at all for some nodes), so boundary-gather the
-        # prefix sums at this shard's nb array
-        cum = jnp.concatenate(
-            [jnp.zeros((1, 8), jnp.int32), jnp.cumsum(stat, axis=0)])
-        nbs = lax.dynamic_slice(state["nb"], (par, 0), (1, B + 1))[0]
-        gb = jnp.take(cum, jnp.clip(nbs, 0, B), axis=0)          # (B+1, 8)
-        d8 = jnp.where(validn[:, None], gb[1:] - gb[:-1], 0)     # (B, 8)
-        cnt_local = d8[:, 4:8]                                   # (B, 4)
-        nact_local = jnp.where(validn, nbs[1:] - nbs[:B], 0)
-        # the trie merge: global per-node statistics over the mesh
-        d8 = lax.psum(d8, axis_name)
-        nact = lax.psum(nact_local, axis_name)
-        nact_loc = nact_local
-    else:
-        # SINGLE DEVICE: every node owns >= 1 pair, so selecting the
-        # inclusive prefix-sum row at each node's LAST pair (a 9-operand
-        # width-B sort — measured far cheaper than a (B+1)-row gather
-        # from an HBM-resident table) yields node-aligned rows directly:
-        # the u-th selected row IS node u, and consecutive differences
-        # are the per-node sums
-        cum_i = jnp.cumsum(stat, axis=0)                         # (B, 8)
-        nxt = jnp.concatenate([nid[1:], jnp.full((1,), -1, jnp.int32)])
-        lstp = validp & ((nid != nxt) | (iota_b == P - 1))
-        keyl = jnp.where(lstp, iota_b, jnp.int32(B))
-        sel = lax.sort((keyl,) + tuple(cum_i[:, j] for j in range(8)),
-                       num_keys=1)
-        selk = sel[0]                                            # (B,)
-        sel8 = jnp.stack(sel[1:], axis=1)                        # (B, 8)
-        prev8 = jnp.concatenate([jnp.zeros((1, 8), jnp.int32),
-                                 sel8[:-1]])
-        d8 = jnp.where(validn[:, None], sel8 - prev8, 0)         # (B, 8)
-        cnt_local = d8[:, 4:8]
-        prevk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), selk[:-1]])
-        nact = jnp.where(validn, selk - prevk, 0)
-        nact_loc = nact
-    sumf = d8[:, 0]
-    sumnln = _nln_value(d8[:, 1:4])
-    cnt = d8[:, 4:8]                                             # (B, 4)
-    exists = (cnt > 0) & sym_mask[None, :] & validn[:, None]
+    cumT = jnp.concatenate(
+        [jnp.zeros((8, 1), jnp.int32), jnp.cumsum(statT, axis=1)],
+        axis=1)                                         # (8, B+1)
+    nbs = lax.dynamic_slice(state["nb"], (par, 0), (1, B + 1))[0]
+    gbT = jnp.take(cumT, jnp.clip(nbs, 0, B), axis=1)   # (8, B+1)
+    d8T = jnp.where(validn[None, :], gbT[:, 1:] - gbT[:, :-1], 0)
+    cnt_localT = d8T[4:8]                               # (4, B)
+    nact_local = jnp.where(validn, nbs[1:] - nbs[:B], 0)
+    # the trie merge: global per-node statistics over the mesh
+    d8T = lax.psum(d8T, axis_name)
+    nact = lax.psum(nact_local, axis_name)
+    sumf = d8T[0]
+    sumnln = _nln_value_w([d8T[1], d8T[2], d8T[3]], 16)
+    cntT = d8T[4:8]                                     # (4, B) global
+    exists4 = (cntT > 0) & sym_mask[:, None] & validn[None, :]
 
-    exn = exists.sum(axis=0, dtype=jnp.int32)                    # (4,)
+    exn = exists4.sum(axis=1, dtype=jnp.int32)          # (4,)
     # local region sizes: this shard's surviving pairs per child region
-    rgs = jnp.where(exists, cnt_local, 0).sum(axis=0, dtype=jnp.int32)
+    rgs = jnp.where(exists4, cnt_localT, 0).sum(axis=1, dtype=jnp.int32)
     child_total = exn.sum()
     pair_count = rgs.sum()
 
     # ---- gates (metaserver.cpp:403-417; left-branching at drain) ------
-    numchildren = exists.sum(axis=-1)
-    # with exactly one existing child, the masked count sum IS that
-    # child's count — no take_along_axis (a (B,4) gather fusion costs
-    # ~17 ms per plateau level on v5e; this is free)
+    numchildren = exists4.sum(axis=0)
     single_full = (numchildren == 1) & (
-        jnp.where(exists, cnt, 0).sum(axis=-1) == nact)
+        jnp.where(exists4, cntT, 0).sum(axis=0) == nact)
     sumN = (S_total + sumf).astype(jnp.float32)
     ent32 = jnp.log(sumN) / np.float32(LOG2) - sumnln / sumN
     present = validn & (nact > 0) & (depth >= 1)
@@ -528,120 +471,63 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
                           jnp.where(stat_rows, ent32, -np.inf).max())
     total_paths = state["total_paths"] + present.sum(dtype=jnp.int32)
 
-    # ---- children + child numbering + history + next-level nb ----------
-    # (c-major flatten == the sym-major child-id order)
+    # ---- children: global exists-lattice numbering + local gather -----
     wn = min(B, ncap)
     wp = min(B, prow)
     woff = jnp.minimum(state["hist_len"], jnp.int32(hist_cap))
-    K = (cact & sym_mask[None, :]).T.reshape(4 * B)    # c-major keep
-    iota_wp = jnp.arange(wp, dtype=jnp.int32)
     iota4b = jnp.arange(4 * B, dtype=jnp.int32)
-
-    if axis_name is None:
-        # SINGLE DEVICE: one 6-operand c-major sort moves every child
-        # payload at once (no (4B, 8) table build, no row gather), and
-        # child ids / history entries / nb boundaries all fall out of
-        # the kept stream's (parent, symbol) boundaries — kept pairs of
-        # a child are contiguous and children appear in c-major order,
-        # so a boundary is simply a change of parent_row*4+sym.
-        key4 = jnp.where(K, iota4b, jnp.int32(4 * B))
-        # pack (soff, sid) into one sort operand; sid < MAX_SAMPLES
-        sidsoff = soff_p * jnp.int32(MAX_SAMPLES) + sid
-        skey, s_clo, s_chi, s_crlo, s_ss, s_nid = lax.sort(
-            (key4,
-             clo.T.reshape(4 * B), chi.T.reshape(4 * B),
-             crlo.T.reshape(4 * B),
-             jnp.tile(sidsoff, 4), jnp.tile(nid, 4)),
-            num_keys=1)
-        skey = skey[:wp]
-        validk = iota_wp < pair_count
-        hv_kept = jnp.where(validk, s_nid[:wp] * 4 + skey // B, -1)
-        prev_hv = jnp.concatenate([jnp.full((1,), -2, jnp.int32),
-                                   hv_kept[:-1]])
-        bdry = validk & (hv_kept != prev_hv)
-        cid_pair = jnp.cumsum(bdry.astype(jnp.int32)) - 1
-        newpr = jnp.stack(
-            [s_clo[:wp], s_chi[:wp], s_crlo[:wp],
-             s_ss[:wp] % jnp.int32(MAX_SAMPLES), cid_pair,
-             s_ss[:wp] // jnp.int32(MAX_SAMPLES),
-             jnp.zeros(wp, jnp.int32), jnp.zeros(wp, jnp.int32)],
-            axis=1)                                    # (wp, 8)
-        pr = lax.dynamic_update_slice(state["pr"], newpr[None],
-                                      (wpar, 0, 0))
-        # history + nb from the boundary stream: one tiny 3-operand sort
-        key_b = jnp.where(bdry, iota_wp, jnp.int32(wp))
-        sk2, s_hv = lax.sort((key_b, hv_kept), num_keys=1)
-        hist = lax.dynamic_update_slice(state["hist"], s_hv[:wn], (woff,))
-        nb_next = lax.dynamic_update_slice(state["nb"],
-                                           jnp.minimum(sk2[:wn],
-                                                       pair_count)[None],
-                                           (wpar, 0))
-    else:
-        # SHARDED: child ids must come from the GLOBAL exists lattice (a
-        # shard may hold no pairs for an existing child), so number the
-        # union children by cumsum over exists and gather per-pair ids
-        E = exists.T.reshape(4 * B)                    # flat i = c*B + u
-        cid_flat = jnp.where(E, jnp.cumsum(E.astype(jnp.int32)) - 1, -1)
-        cid_mat = cid_flat.reshape(4, B).T             # (B, 4): node, sym
-        hv = (iota4b % B) * 4 + iota4b // B            # parent_row*4+sym
-        pcnt = jnp.where(exists, cnt_local, 0).T.reshape(4 * B)
-        nbv = jnp.cumsum(pcnt) - pcnt                  # child's first pair
-        kidx_n, _ = compact_kidx_sort(E, wn)
-        rows_n = jnp.stack([hv, nbv], axis=1)          # (4B, 2)
-        g_n = jnp.take(rows_n, kidx_n, axis=0)         # (wn, 2)
-        hist = lax.dynamic_update_slice(state["hist"], g_n[:, 0], (woff,))
-        nb_next = lax.dynamic_update_slice(state["nb"], g_n[:, 1][None],
-                                           (wpar, 0))
-        cid_nd = jnp.take(cid_mat, jnp.minimum(nid, B - 1), axis=0)
-        childrows = jnp.stack(
-            [clo.T, chi.T, crlo.T,
-             jnp.broadcast_to(sid[None, :], (4, B)),
-             cid_nd.T,
-             jnp.broadcast_to(soff_p[None, :], (4, B)),
-             jnp.zeros((4, B), jnp.int32),
-             jnp.zeros((4, B), jnp.int32)], axis=2).reshape(4 * B, 8)
-        kidx_p, _ = compact_kidx_sort(K, wp)
-        newpr = jnp.take(childrows, kidx_p, axis=0)    # (wp, 8)
-        pr = lax.dynamic_update_slice(state["pr"], newpr[None],
-                                      (wpar, 0, 0))
+    K = keepc.reshape(4 * B)                            # c-major keep
+    E = exists4.reshape(4 * B)                          # flat i = c*B + u
+    cid_flat = jnp.where(E, jnp.cumsum(E.astype(jnp.int32)) - 1, -1)
+    cid_mat = cid_flat.reshape(4, B).T                  # (B, 4): node, sym
+    hv = (iota4b % B) * 4 + iota4b // B                 # parent_row*4+sym
+    pcnt = jnp.where(exists4, cnt_localT, 0).reshape(4 * B)
+    nbv = jnp.cumsum(pcnt) - pcnt                       # child's first pair
+    kidx_n, _ = compact_kidx_sort(E, wn)
+    rows_n = jnp.stack([hv, nbv], axis=1)               # (4B, 2)
+    g_n = jnp.take(rows_n, kidx_n, axis=0)              # (wn, 2)
+    hist = lax.dynamic_update_slice(state["hist"], g_n[:, 0], (woff,))
+    nb_next = lax.dynamic_update_slice(state["nb"], g_n[:, 1][None],
+                                       (wpar, 0))
+    cid_nd = jnp.take(cid_mat, jnp.minimum(nid, B - 1), axis=0)
+    childrows = jnp.stack(
+        [clo_m.reshape(4 * B), chi_m.reshape(4 * B),
+         crlo_m.reshape(4 * B),
+         jnp.broadcast_to(sid[None, :], (4, B)).reshape(4 * B),
+         cid_nd.T.reshape(4 * B),
+         jnp.broadcast_to(soff_p[None, :], (4, B)).reshape(4 * B),
+         jnp.zeros(4 * B, jnp.int32),
+         jnp.zeros(4 * B, jnp.int32)], axis=1)          # (4B, 8)
+    kidx_p, _ = compact_kidx_sort(K, wp)
+    newpr = jnp.take(childrows, kidx_p, axis=0)         # (wp, 8)
+    pr = lax.dynamic_update_slice(state["pr"], newpr[None],
+                                  (wpar, 0, 0))
     nb_next = lax.dynamic_update_slice(
         nb_next, pair_count[None, None],
         (wpar, jnp.minimum(child_total, jnp.int32(nbrow - 1))))
 
-    # ---- emit: stage gated pairs, append unconditionally ---------------
-    # A lax.cond whose carried value is the out buffer COPIES it every
-    # level (~16 ms per plateau level per cond in the device trace), so
-    # the buffer never enters a cond: gated rows are built into a SMALL
-    # (W, 8) staging block under the (rare) k_o > 0 branch, and the
-    # staging block is dynamic_update_slice'd into `out` on EVERY level
-    # — when nothing is gated it writes zeros beyond ocount, which is
-    # exactly the existing garbage-tail contract.  Levels emitting more
-    # than W rows drain in W-row chunks: `eskip` tracks how many gated
-    # rows earlier chunks of THIS level already emitted, the level stays
-    # uncommitted, and FLAG_DRAIN hands the chunk to the host.
-    # Chunks cut at NODE boundaries (a node's pairs split across drains
-    # would print as two half-lines), using GLOBAL per-node pair counts
-    # so every shard selects the same node set; a node has <= S <=
-    # MAX_SAMPLES < EMIT_W pairs, so each chunk advances >= 1 node.
+    # ---- emit: stage gated pairs, append unconditionally --------------
+    # Chunks cut at NODE boundaries using GLOBAL per-node pair counts so
+    # every shard selects the same node set; a node has <= S <=
+    # MAX_SAMPLES < EMIT_W pairs globally, so each chunk advances >= 1
+    # node (see _level_single's emit block for the staging rationale).
     W = min(EMIT_W, B)
     estart = state["eskip"]
-    gp = jnp.where(nd_out, nact, 0)                    # global pairs/node
-    cum_gp = jnp.cumsum(gp)                            # inclusive (B,)
-    tg = cum_gp[B - 1]                                 # total gated pairs
+    gp = jnp.where(nd_out, nact, 0)                     # global pairs/node
+    cum_gp = jnp.cumsum(gp)                             # inclusive (B,)
+    tg = cum_gp[B - 1]                                  # total gated pairs
     take_node = nd_out & (cum_gp > estart) & (cum_gp <= estart + W)
     cut = jnp.max(jnp.where(take_node, cum_gp, estart))
 
     def build_stage(_):
-        # int32 gather: gathering packed bools relayouts at ~13 ms per
-        # plateau level (trace fusion.20); the int form is ~2x cheaper
         sel = validp & (jnp.take(take_node.astype(jnp.int32),
                                  jnp.minimum(nid, B - 1)) > 0)
         orows = jnp.concatenate(
             [(hi - lo)[:, None], rlo[:, None], sid[:, None], nid[:, None],
              jnp.full((B, 1), depth, jnp.int32),
-             jnp.zeros((B, 3), jnp.int32)], axis=1)    # (B, 8)
+             jnp.zeros((B, 3), jnp.int32)], axis=1)     # (B, 8)
         kidx_o, wrote = compact_kidx_sort(sel, W)
-        return jnp.take(orows, kidx_o, axis=0), wrote  # (W, 8), local
+        return jnp.take(orows, kidx_o, axis=0), wrote   # (W, 8), local
 
     stage, wrote = lax.cond(
         tg > estart,
@@ -653,18 +539,15 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
     oc = state["ocount"] + wrote
 
     # ---- flags + commit (identical on every shard: per-shard
-    # predicates are any-reduced over the mesh) ---------------------------
+    # predicates are any-reduced over the mesh) -------------------------
     grow = (child_total > ncap) | (pair_count > prow)
-    # survivors exceeded this level's B-wide moves (but fit the run
-    # capacity): redo the level at the next bucket size
     refit = ~grow & ((pair_count > wp) | (child_total > wn))
     drain = oc > sc.out_reserve
-    burst = cut < tg                # gated nodes remain beyond this chunk
-    if axis_name is not None:
-        grow = lax.psum(grow.astype(jnp.int32), axis_name) > 0
-        refit = lax.psum(refit.astype(jnp.int32), axis_name) > 0
-        drain = lax.psum(drain.astype(jnp.int32), axis_name) > 0
-        # burst/cut derive from psum'd nact: already uniform across shards
+    burst = cut < tg
+    grow = lax.psum(grow.astype(jnp.int32), axis_name) > 0
+    refit = lax.psum(refit.astype(jnp.int32), axis_name) > 0
+    drain = lax.psum(drain.astype(jnp.int32), axis_name) > 0
+    # burst/cut derive from psum'd nact: already uniform across shards
     histfull = (state["hist_len"] + child_total > hist_cap) \
         | (state["nlev"] + 1 >= LVL_CAP)
     burst = burst & ~(grow | histfull | refit)
@@ -699,14 +582,10 @@ def _level_at_bucket(B: int, dev_frows, dev_rrows, s_total: int,
         hist=hist,
         hist_len=keep_if(state["hist_len"] + child_total,
                          state["hist_len"]),
-        # always record this level's start offset at slot nlev: on a redo
-        # nlev does not advance and the slot is simply overwritten
         lvl_off=jnp.asarray(state["lvl_off"]).at[state["nlev"]].set(
             state["hist_len"]),
         nlev=keep_if(state["nlev"] + 1, state["nlev"]),
         out=out,
-        # chunk progress must survive the burst redo: the written rows
-        # leave with the drain, so ocount advances on commit OR burst
         ocount=jnp.where(commit | burst, oc, state["ocount"]),
         eskip=jnp.where(commit, 0, jnp.where(burst, cut, estart)),
         boost=boost,

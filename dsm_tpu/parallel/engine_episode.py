@@ -47,7 +47,7 @@ import numpy as np
 from ..index.alphabet import EXT_CHARS
 from ..index.fmindex import FMIndex
 from ..mining.config import MiningConfig
-from ..mining.engine import leftchar_codes_pairs
+from ..mining.engine import leftchar_codes_pairsT
 from ..mining.engine_np import MinedOutput, node_entropy
 from ..mining.engine_device import (
     FLAG_DONE,
@@ -77,7 +77,7 @@ from ..mining.engine_device import (
     bucket_ladder,
     _decode_rows,
     _hist_cap,
-    _level_at_bucket,
+    _level_sharded,
     _next_pow2,
     _pull_segment,
     _Scalars,
@@ -121,7 +121,7 @@ def _specs(mesh):
 
 @functools.cache
 def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
-                            prefix_codes: tuple, s_total: int = 0):
+                            s_total: int = 0):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -129,16 +129,20 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
     ladder = bucket_ladder(PAIR_HEADROOM * cap)
     sh, rep, state_spec = _specs(mesh)
 
-    def shard_body(frows, rrows, state, *flat_scalars):
-        # tables shard on their existing sample axis; the sharded STATE
+    def shard_body(frowsT, rrowsT, state, *flat_scalars):
+        # tables shard on their leading sample axis; the sharded STATE
         # leaves carry an explicit leading shard dim instead (stripped
         # here, restored on return).  Per-pair table offsets ride in the
         # pair rows (PC_SOFF) and C4 is baked into the tables, so the
-        # body needs no per-sample meta at all.
+        # body needs no per-sample meta at all.  The per-shard flat
+        # TRANSPOSED table (ops/rank.occ_cumT layout: column s*nbp+b
+        # holds sample s's block b) is materialized once per episode
+        # invocation — a table-sized copy amortized over the whole
+        # while loop.
         state = {k: (v[0] if k in _SHARDED_KEYS else v)
                  for k, v in state.items()}
-        S_l, nbp = frows.shape[0], frows.shape[1]
-        frows_flat = frows.reshape(S_l * nbp, ROWW)
+        S_l, nbp = frowsT.shape[0], frowsT.shape[2]
+        frowsT_flat = frowsT.transpose(1, 0, 2).reshape(ROWW, S_l * nbp)
         sc = _Scalars(*flat_scalars)
 
         def cond(st):
@@ -151,9 +155,8 @@ def _jitted_episode_sharded(mesh, cap: int, hist_cap: int, S_loc: int,
             k = jnp.clip(jnp.sum(lad < need) + st["boost"], 0,
                          len(ladder) - 1)
             branches = [
-                functools.partial(_level_at_bucket, b, frows_flat, None,
-                                  s_total, sc, prefix_codes, hist_cap,
-                                  axis_name=SAMPLES_AXIS)
+                functools.partial(_level_sharded, b, frowsT_flat,
+                                  s_total, sc, hist_cap, SAMPLES_AXIS)
                 for b in ladder
             ]
             return lax.switch(k, branches, st)
@@ -245,15 +248,15 @@ def _jitted_lc_sharded(mesh, replicate: bool = True):
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    def shard_lc(rrows, rows):
+    def shard_lc(rrowsT, rows):
         from jax import lax
 
-        S_l, nbp = rrows.shape[0], rrows.shape[1]
-        rflat = rrows.reshape(S_l * nbp, ROWW)
+        S_l, nbp = rrowsT.shape[0], rrowsT.shape[2]
+        rflatT = rrowsT.transpose(1, 0, 2).reshape(ROWW, S_l * nbp)
         soff = jnp.arange(S_l, dtype=jnp.int32) * nbp
         sid = rows[0][:, OC_SID]
-        lc = leftchar_codes_pairs(rflat, soff[sid], rows[0][:, OC_RLO],
-                                  rows[0][:, OC_FREQ])
+        lc = leftchar_codes_pairsT(rflatT, soff[sid], rows[0][:, OC_RLO],
+                                   rows[0][:, OC_FREQ])
         if replicate:
             return lax.all_gather(lc, SAMPLES_AXIS)
         return lc[None]
@@ -274,7 +277,7 @@ def _seed_sharded_episode(dev: ShardedIndexes, n_shards: int, cap: int,
     import jax.numpy as jnp
 
     S_loc = dev.S // n_shards
-    nbp = int(dev.frows.shape[1])
+    nbp = int(dev.fnp.shape[1])
     # borrow the single-device seeder for shapes, then fix the seeds
     class _Fake:
         S = S_loc
@@ -334,7 +337,7 @@ def _drain_sharded(out: MinedOutput, cfg: MiningConfig, d: int, state,
     out_slice = state["out"][:, :npad]
     single = _single_controller()
     lc_all = _jitted_lc_sharded(mesh, replicate=not single)(
-        dev.rrows, out_slice)
+        dev.rrowsT, out_slice)
     if single:
         # per-shard pulls of exactly the counted rows (sharded arrays:
         # slicing shard k touches only its device)
@@ -604,9 +607,10 @@ def mine_device_sharded(
                                server_prefix_len=max(1, len(prefix)))
     elif reader_order != "ascending":
         raise ValueError(f"unknown reader_order {reader_order!r}")
-    sc = _Scalars.build(cfg, tail_width=tail_width,
-                        out_reserve=min(out_reserve, OUT_RESERVE))
     prefix_codes = tuple(EXT_CHARS.index(b) for b in prefix)
+    sc = _Scalars.build(cfg, tail_width=tail_width,
+                        out_reserve=min(out_reserve, OUT_RESERVE),
+                        prefix_codes=prefix_codes)
     debug = os.environ.get("DSM_DEBUG") == "1"
     # SURVEY §5.1: DSM_TRACE=<dir> wraps the mining episodes in a JAX
     # profiler trace (XLA-op device timeline; inspect the
@@ -641,7 +645,7 @@ def mine_device_sharded(
         prs, nbs, nps = _stack_pairs_by_shard(
             pairs, n_shards, S_loc, n_nodes,
             fresh["pr"].shape[2], fresh["nb"].shape[2],
-            int(dev.frows.shape[1]))
+            int(dev.fnp.shape[1]))
         fresh["pr"] = fresh["pr"].at[:, 0].set(jnp.asarray(prs))
         fresh["nb"] = fresh["nb"].at[:, 0].set(jnp.asarray(nbs))
         fresh["npairs"] = jnp.asarray(nps)
@@ -686,8 +690,8 @@ def mine_device_sharded(
 
     while True:
         fn = _jitted_episode_sharded(mesh, cap, hist_cap, S_loc,
-                                     prefix_codes, s_total=d)
-        state = fn(dev.frows, dev.rrows, state, *sc.flat())
+                                     s_total=d)
+        state = fn(dev.frowsT, dev.rrowsT, state, *sc.flat())
         flag = int(state["flag"])
         if debug:
             print(f"mine_device_sharded: flag={flag} cap={cap} "

@@ -50,14 +50,48 @@ from .mesh import (PREFIX_AXIS, SAMPLES_AXIS, default_mesh_shape, make_mesh,
 class ShardedIndexes:
     """Per-sample bidirectional tables padded to a COMMON row count so the
     sample axis is a shardable leading dimension (unequal samples are
-    right-padded with inert zero rows that no in-range position gathers)."""
+    right-padded with inert zero rows that no in-range position gathers).
+
+    Like mining.engine.DeviceIndexes, both device layouts are LAZY so a
+    run pays HBM only for what its engine touches: frows/rrows
+    (S, NBP, ROWW) row-major for the per-level legacy engine here, and
+    frowsT/rrowsT (S, ROWW, NBP) for the sharded episode engine, whose
+    shard body flattens them to the ops/rank.occ_cumT column layout."""
 
     S: int
     ns: np.ndarray   # (S,) int64
-    frows: object    # jnp (S, NBP, ROWW) uint32
-    rrows: object    # jnp (S, NBP, ROWW) uint32
+    fnp: np.ndarray  # host (S, NBP, ROWW) uint32
+    rnp: np.ndarray
     C4: object       # jnp (S, 4) int32
     C4hi: object
+
+    def _layout(self, key: str, make):
+        import jax.numpy as jnp
+
+        cache = self.__dict__.setdefault("_cache", {})
+        if key not in cache:
+            cache[key] = jnp.asarray(make())
+        return cache[key]
+
+    @property
+    def frows(self):
+        return self._layout("f", lambda: self.fnp)
+
+    @property
+    def rrows(self):
+        return self._layout("r", lambda: self.rnp)
+
+    @property
+    def frowsT(self):
+        return self._layout(
+            "fT", lambda: np.ascontiguousarray(
+                self.fnp.transpose(0, 2, 1)))
+
+    @property
+    def rrowsT(self):
+        return self._layout(
+            "rT", lambda: np.ascontiguousarray(
+                self.rnp.transpose(0, 2, 1)))
 
     @classmethod
     def build(cls, indexes: list[FMIndex], pad_to: int | None = None
@@ -84,8 +118,7 @@ class ShardedIndexes:
             C4[s] = [idx.C[c] for c in EXT4]
             C4hi[s] = [idx.C[c + 1] for c in EXT4]
             ns[s] = idx.n
-        return cls(S=S, ns=ns, frows=jnp.asarray(frows),
-                   rrows=jnp.asarray(rrows), C4=jnp.asarray(C4),
+        return cls(S=S, ns=ns, fnp=frows, rnp=rrows, C4=jnp.asarray(C4),
                    C4hi=jnp.asarray(C4hi))
 
 
