@@ -286,28 +286,23 @@ def _seed_sharded_episode(dev: ShardedIndexes, n_shards: int, cap: int,
     base = _seed_episode(_Fake, cap, hist_cap)
     stacked = {}
     ns = np.asarray(dev.ns, dtype=np.int64)
-    for k in _SHARDED_KEYS:
-        if k == "pr":
-            prs = []
-            for sh in range(n_shards):
-                pr = np.zeros(base["pr"].shape, dtype=np.int32)
-                loc = np.arange(S_loc)
-                pr[0, :S_loc, PC_HI] = ns[sh * S_loc:(sh + 1) * S_loc]
-                pr[0, :S_loc, PC_SID] = loc
-                pr[0, :S_loc, PC_SOFF] = loc * nbp
-                prs.append(pr)
-            stacked["pr"] = jnp.asarray(np.stack(prs))
-        elif k == "nb":
-            nb = np.zeros((n_shards,) + base["nb"].shape, dtype=np.int32)
-            nb[:, 0, 1] = S_loc
-            stacked["nb"] = jnp.asarray(nb)
-        elif k == "npairs":
-            stacked["npairs"] = jnp.full((n_shards,), S_loc, jnp.int32)
-        elif k == "ocount":
-            stacked["ocount"] = jnp.zeros((n_shards,), jnp.int32)
-        elif k == "out":
-            stacked["out"] = jnp.zeros((n_shards,) + base["out"].shape,
-                                       jnp.int32)
+    # the big buffers are allocated ON DEVICE (jnp.zeros) and only the
+    # tiny seed rows are shipped: a numpy-then-transfer construction
+    # moved ~0.5 GB through the device tunnel on EVERY episode start
+    # (measured as ~9 s of host time per sharded run, round 5)
+    seed = np.zeros((n_shards, S_loc, 8), dtype=np.int32)
+    loc = np.arange(S_loc)
+    for sh in range(n_shards):
+        seed[sh, :, PC_HI] = ns[sh * S_loc:(sh + 1) * S_loc]
+        seed[sh, :, PC_SID] = loc
+        seed[sh, :, PC_SOFF] = loc * nbp
+    stacked["pr"] = (jnp.zeros((n_shards,) + base["pr"].shape, jnp.int32)
+                     .at[:, 0, :S_loc, :].set(jnp.asarray(seed)))
+    stacked["nb"] = (jnp.zeros((n_shards,) + base["nb"].shape, jnp.int32)
+                     .at[:, 0, 1].set(S_loc))
+    stacked["npairs"] = jnp.full((n_shards,), S_loc, jnp.int32)
+    stacked["ocount"] = jnp.zeros((n_shards,), jnp.int32)
+    stacked["out"] = jnp.zeros((n_shards,) + base["out"].shape, jnp.int32)
     out = dict(base)
     out.update(stacked)
     return out
