@@ -1142,6 +1142,11 @@ def _drain(out: MinedOutput, cfg: MiningConfig, d: int, state,
     paths = _decode_rows(state, ph, seg_depth0, grow_[keep], gdep[keep])
     for j, i in enumerate(keep):
         act = np.flatnonzero(active[i])
+        if act.size == 0:
+            # defensively unreachable: staged rows always carry >= 1
+            # active reader (present requires nact > 0), but a wrapped
+            # histogram index would silently corrupt the stats
+            continue
         if tracker is None:
             order, ent_val = act, float(ent[i])
         else:
