@@ -110,12 +110,19 @@ def main() -> None:
         return (blk[..., None] + rem[..., None]).astype(jnp.int32) * \
             jnp.ones(sh, jnp.int32)
 
-    ed_occ = ed.occ_cum
-    ed.occ_cum = occ_dummy
+    # patch the episode's actual rank entry point (occ_cum8T since the
+    # round-5 transposed-layout redesign)
+    def occ8_dummy(rowsT, blk, rem, pos):
+        import jax.numpy as jnp
+        return jnp.broadcast_to((blk + rem + pos)[None, :].astype(jnp.int32),
+                                (8, blk.shape[0]))
+
+    ed_occ8 = ed.occ_cum8T
+    ed.occ_cum8T = occ8_dummy
     try:
         bench("no-occ (dummy ranks)", fresh_full())
     finally:
-        ed.occ_cum = ed_occ
+        ed.occ_cum8T = ed_occ8
 
     from jax import lax as _lax
     real_lax_sort = _lax.sort

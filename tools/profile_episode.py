@@ -77,8 +77,8 @@ def main() -> None:
             k = jnp.clip(jnp.sum(lad < need) + state["boost"], 0,
                          len(ladder) - 1)
             branches = [
-                functools.partial(ed._level_at_bucket, b, frows, rrows,
-                                  dev.S, s, (), hist_cap)
+                functools.partial(ed._level_single, b, frows, rrows,
+                                  dev.S, s, hist_cap)
                 for b in ladder
             ]
             return lax.switch(k, branches, state)
@@ -95,7 +95,7 @@ def main() -> None:
         ki = min(sum(1 for b in ladder if b < need) + bst, len(ladder) - 1)
         lb = ladder[ki]
         t0 = time.perf_counter()
-        state = fn(dev.frows, dev.rrows, state, *sc.flat())
+        state = fn(dev.frowsT, dev.rrowsT, state, *sc.flat())
         jax.block_until_ready(state["flag"])
         dt = time.perf_counter() - t0
         flag = int(state["flag"])
